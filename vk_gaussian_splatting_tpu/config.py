@@ -1,0 +1,135 @@
+"""Static render configuration.
+
+The reference specializes device code by regenerating ~30 shader ``#define``s and
+recompiling Slang on any parameter change (gaussian_splatting.cpp:1651-1715,
+``updateSlangMacros``).  The TPU-native equivalent is a frozen, hashable
+dataclass passed as a static argument to ``jax.jit`` — each distinct config
+traces and compiles its own XLA program, cached by the config value exactly like
+the reference's shader-macro recompile cache.
+
+Parameter groups mirror the reference's global parameter structs
+(parameters.h:82-240: prmFrame / prmRender / prmRaster / prmRtx / prmData).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class Pipeline(enum.IntEnum):
+    """The six rendering pipelines (shaderio.h:61-66)."""
+
+    VERT = 0          # raster 3DGS (vertex-shader path in reference; one raster path here)
+    MESH = 1          # raster 3DGS (default)
+    RTX = 2           # 3DGRT ray tracing
+    HYBRID = 3        # 3DGS raster primary + 3DGRT secondary
+    MESH_3DGUT = 4    # raster 3DGUT (unscented transform)
+    HYBRID_3DGUT = 5  # 3DGUT raster primary + 3DGRT secondary
+
+
+class ShFormat(enum.IntEnum):
+    """SH coefficient storage format (shaderio.h data-format macros; splat_set_vk.cpp:396-447)."""
+
+    FLOAT32 = 0
+    FLOAT16 = 1
+    UINT8 = 2
+
+
+class CameraType(enum.IntEnum):
+    PINHOLE = 0
+    FISHEYE = 1
+
+
+class SortMethod(enum.IntEnum):
+    """GPU vs CPU sorting (reference: vrdx radix sort vs SplatSorterAsync)."""
+
+    DEVICE = 0  # on-device sort (lax.sort / Pallas radix) — reference "GPU sort"
+    HOST = 1    # numpy argsort on host, indices shipped to device — reference "CPU sort"
+
+
+class BlendOrder(enum.IntEnum):
+    """Raster blend direction (FRONT_TO_BACK macro; gaussian_splatting.cpp:705-850).
+
+    The tile rasterizer always *iterates* front-to-back (deterministic sorted
+    loop); BACK_TO_FRONT only changes the sort direction used for parity with
+    the reference's sort-key encoding (dist.comp.slang:155-167).
+    """
+
+    BACK_TO_FRONT = 0
+    FRONT_TO_BACK = 1
+
+
+class StochasticMode(enum.IntEnum):
+    """Stochastic transparency variants (shaderio.h:95-105; doc/stochastic_transparency.md)."""
+
+    NONE = 0
+    SPLAT = 1  # per-fragment stochastic accept in raster (threedgs_raster.frag.slang:265-290)
+    PASS = 2   # Monte-Carlo pass termination in RT (rgen:765-800)
+    ANYHIT = 3 # single-trace stochastic any-hit (rgen:821-961)
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Tile rasterizer parameters (prmRaster, parameters.h:180-214)."""
+
+    tile_size: int = 16
+    chunk: int = 128             # pairs blended per tile-loop iteration (VMEM chunk)
+    extent_sigma: float = 2.8284271247461903  # sqrt(8) std-devs (threedgs.h.slang stdDev)
+    max_basis_px: float = 2048.0  # extent clamp (threedgs.h.slang:117-118)
+    dilation: float = 0.3         # low-pass dilation (threedgs.h.slang:69-70)
+    alpha_min: float = 1.0 / 255.0
+    alpha_clamp: float = 0.999
+    alpha_cull_qmax: float = 8.0  # discard A=dot(fragPos,fragPos) > 8 (frag.slang:236-255)
+    ms_antialiasing: bool = False  # Mip-Splatting alpha compensation (threedgs.h.slang:63-76)
+    point_cloud_mode: bool = False  # fixed 0.2 eigenvalues (threedgs.h.slang:108-110)
+    blend_order: BlendOrder = BlendOrder.FRONT_TO_BACK
+    frustum_dilation: float = 0.2  # NDC cull margin (FrameInfo.frustumDilation default)
+    size_culling: bool = False
+    size_culling_min_px: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RtConfig:
+    """3DGRT ray-tracing parameters (prmRtx, parameters.h:216-240)."""
+
+    kernel_degree: int = 4        # generalized gaussian degree (threedgrt.h.slang:83-127)
+    k_buffer: int = 18            # PARTICLES_SPP sorted hits per pass (gaussian_splatting.cpp:1693)
+    max_passes: int = 200         # marching pass cap (FrameInfo, shaderio.h:269)
+    min_transmittance: float = 0.001
+    alpha_clamp: float = 0.999
+    alpha_min: float = 0.01       # hit response cull (threedgrt.h.slang:149-160)
+    use_aabbs: bool = False       # AABB proxies instead of icosahedron (prmRtxData)
+    kernel_scale_deg0: float = 3.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Top-level frame parameters (prmFrame/prmRender, parameters.h:82-178)."""
+
+    pipeline: Pipeline = Pipeline.MESH
+    width: int = 800
+    height: int = 600
+    sh_degree: int = 3            # requested max SH degree (clamped to data degree)
+    sh_format: ShFormat = ShFormat.FLOAT32
+    camera_type: CameraType = CameraType.PINHOLE
+    splat_scale: float = 1.0      # global splat scale multiplier (FrameInfo.splatScale)
+    stochastic: StochasticMode = StochasticMode.NONE
+    temporal_samples: int = 1     # temporal accumulation frames (post.comp.slang)
+    opacity_gain: float = 1.0
+    show_sh_only: bool = False    # visualize SH radiance without base color (FrameInfo.showShOnly)
+    raster: RasterConfig = RasterConfig()
+    rt: RtConfig = RtConfig()
+    # blend a constant background under the splats (reference clears to black)
+    background: tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tiles_x(cfg: RenderConfig) -> int:
+    return -(-cfg.width // cfg.raster.tile_size)
+
+
+def tiles_y(cfg: RenderConfig) -> int:
+    return -(-cfg.height // cfg.raster.tile_size)

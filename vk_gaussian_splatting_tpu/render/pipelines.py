@@ -1,0 +1,130 @@
+"""Rendering pipelines as pure functions of (splats, camera, config).
+
+The TPU-native counterpart of the reference's frame graph
+(GaussianSplatting::onRender -> renderHybridPipeline / renderPureRaytracing,
+gaussian_splatting.cpp:335-521): each reference pipeline becomes one jittable
+function; pipeline/config switches select the traced program (the reference's
+shader-macro recompile, SURVEY.md §3.1).
+
+3DGS raster frame = project -> bin(sort) -> tile blend, matching the
+dist+sort+raster stages of gaussian_splatting.cpp:1298-1464.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from vk_gaussian_splatting_tpu.config import Pipeline, RenderConfig, tiles_x, tiles_y
+from vk_gaussian_splatting_tpu.ops.binning import TileBins, bin_splats
+from vk_gaussian_splatting_tpu.ops.projection import ProjectedSplats, project_splats
+from vk_gaussian_splatting_tpu.ops.rasterize_pallas import (
+    ATTR_B,
+    ATTR_CA,
+    ATTR_DEPTH,
+    ATTR_OPACITY,
+    ATTR_R,
+    ATTR_X,
+    NUM_ATTRS,
+    RasterStatics,
+    assemble_image,
+    rasterize_tiles,
+)
+from vk_gaussian_splatting_tpu.scene.cameras import Camera
+from vk_gaussian_splatting_tpu.scene.splat_set import PreparedSplats
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RenderOutput:
+    image: jax.Array          # (H, W, 3)
+    transmittance: jax.Array  # (H, W)
+    num_pairs: jax.Array      # () i32 — pairs generated (pre-truncation)
+    overflow: jax.Array       # () bool — pair budget exceeded
+
+
+def build_pair_attrs(proj: ProjectedSplats, bins: TileBins) -> jax.Array:
+    """Gather projected splat attributes into sorted pair order: (16, P) f32.
+
+    One big XLA gather turns the tile kernel's reads into contiguous DMA —
+    the TPU answer to the reference's per-thread random buffer fetches
+    (threedgs_particle_buffers.h.slang).
+    """
+    ps = bins.pair_splat
+    p = ps.shape[0]
+    rows = [
+        proj.xy[ps, 0],
+        proj.xy[ps, 1],
+        proj.conic[ps, 0],
+        proj.conic[ps, 1],
+        proj.conic[ps, 2],
+        proj.alpha[ps],
+        proj.color[ps, 0],
+        proj.color[ps, 1],
+        proj.color[ps, 2],
+        proj.depth[ps],
+    ]
+    attrs = jnp.stack(rows, axis=0)
+    return jnp.concatenate(
+        [attrs, jnp.zeros((NUM_ATTRS - len(rows), p), jnp.float32)], axis=0
+    )
+
+
+def raster_statics(cfg: RenderConfig, interpret: bool | None = None) -> RasterStatics:
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return RasterStatics(
+        tiles_x=tiles_x(cfg),
+        tiles_y=tiles_y(cfg),
+        chunk=cfg.raster.chunk,
+        alpha_min=cfg.raster.alpha_min,
+        alpha_clamp=cfg.raster.alpha_clamp,
+        qmax=cfg.raster.alpha_cull_qmax,
+        interpret=interpret,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_pairs", "interpret"))
+def render_3dgs(
+    prepared: PreparedSplats,
+    cam: Camera,
+    cfg: RenderConfig,
+    max_pairs: int,
+    interpret: bool | None = None,
+) -> RenderOutput:
+    """3DGS raster pipeline (PIPELINE_VERT / PIPELINE_MESH)."""
+    if cfg.raster.tile_size != 16:
+        raise ValueError("pallas raster path requires tile_size == 16")
+    proj = project_splats(prepared, cam, cfg)
+    bins = bin_splats(
+        proj,
+        tile_size=cfg.raster.tile_size,
+        tiles_x=tiles_x(cfg),
+        tiles_y=tiles_y(cfg),
+        max_pairs=max_pairs,
+        chunk=cfg.raster.chunk,
+        front_to_back=True,
+    )
+    attrs = build_pair_attrs(proj, bins)
+    st = raster_statics(cfg, interpret)
+    out = rasterize_tiles(attrs, bins.chunk_tile, bins.chunk_rank,
+                          bins.chunk_last, bins.seg_counts, st)
+    img, trans = assemble_image(out, bins.seg_counts, st.tiles_x, st.tiles_y,
+                                cfg.width, cfg.height, cfg.background)
+    return RenderOutput(
+        image=img,
+        transmittance=trans,
+        num_pairs=bins.num_pairs,
+        overflow=bins.overflow,
+    )
+
+
+def render(prepared: PreparedSplats, cam: Camera, cfg: RenderConfig,
+           max_pairs: int, **kw) -> RenderOutput:
+    """Pipeline dispatch (shaderio.h:61-66 pipeline ids)."""
+    if cfg.pipeline in (Pipeline.VERT, Pipeline.MESH):
+        return render_3dgs(prepared, cam, cfg, max_pairs, **kw)
+    raise NotImplementedError(f"pipeline {cfg.pipeline} not yet implemented")
