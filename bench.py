@@ -1,0 +1,81 @@
+"""Benchmark: 3DGS forward (and fwd+bwd) throughput on one real TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md): reference mesh-shader raster renders the 6.13M-splat
+bicycle scene at 587 FPS @ 1465x766 on an RTX 6000 Ada = 658.6 Mpixel/s.
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from vk_gaussian_splatting_tpu.config import RenderConfig
+from vk_gaussian_splatting_tpu.render.pipelines import render_3dgs
+from vk_gaussian_splatting_tpu.scene.cameras import look_at
+from vk_gaussian_splatting_tpu.scene.splat_set import random_splats
+
+BASELINE_MPIX_S = 587 * 1465 * 766 / 1e6  # 658.6
+
+
+def make_scene(n_splats: int):
+    """Synthetic scene with a realistic pair distribution (~4-8 tiles/splat)."""
+    splats = random_splats(jax.random.key(0), n_splats, sh_degree=3,
+                           extent=4.0, scale_range=(-5.5, -3.5))
+    return splats.prepare()
+
+
+def time_fn(fn, *args, iters=20, warmup=3):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    n_splats = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    cfg = RenderConfig(width=1920, height=1080, sh_degree=3)
+    prepared = make_scene(n_splats)
+    cam = look_at([0, 0, -7], [0, 0, 0], [0, 1, 0], cfg.width, cfg.height,
+                  fov_y_rad=0.9)
+    max_pairs = 8 << 20
+
+    fwd = jax.jit(lambda p, c: render_3dgs(p, c, cfg, max_pairs).image)
+
+    def loss(p, c):
+        o = render_3dgs(p, c, cfg, max_pairs)
+        return jnp.sum(o.image ** 2)
+
+    fwd_bwd = jax.jit(jax.grad(loss))
+
+    dt_fwd = time_fn(fwd, prepared, cam)
+    dt_fwd_bwd = time_fn(fwd_bwd, prepared, cam, iters=10)
+
+    mpix_s = cfg.width * cfg.height / dt_fwd / 1e6
+    mpix_s_train = cfg.width * cfg.height / dt_fwd_bwd / 1e6
+
+    print(json.dumps({
+        "metric": "3dgs_raster_fwd_1080p_1M_splats",
+        "value": round(mpix_s, 2),
+        "unit": "Mpixel/s",
+        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 4),
+        "extra": {
+            "fwd_ms": round(dt_fwd * 1e3, 3),
+            "fwd_bwd_ms": round(dt_fwd_bwd * 1e3, 3),
+            "fwd_bwd_mpix_s": round(mpix_s_train, 2),
+            "fps": round(1.0 / dt_fwd, 2),
+            "n_splats": n_splats,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Multi-chip sharding policies (SURVEY.md §2.4, §5 "long-context" analogs).
+
+The reference is a single-GPU app; its scale escape hatches (sparse
+LargeBuffers for >4 GB attributes, multi-TLAS chunking past 16.7M instances —
+splat_set_vk.h:175, splat_set_manager_vk.cpp:1060) become sharded arrays over
+a ``jax.sharding.Mesh`` here:
+
+- **splat sharding** (data axis): each device stores and projects N/D splats —
+  the LargeBuffer replacement; attribute memory scales with devices.
+- **tile sharding** (output axis): each device rasterizes a horizontal band of
+  tile rows; the compact projected attributes (~15 f32/splat, far smaller than
+  raw parameters) ride one ``all_gather`` across the mesh (ICI) — the
+  boundary-splat gather of BASELINE.json.
+- gradients: the all_gather transposes to ``psum_scatter`` automatically under
+  ``jax.grad``, so per-splat parameter gradients land sharded exactly like the
+  parameters (no replicated-gradient all-reduce needed — splat params are
+  per-splat); the scalar loss is ``psum``-reduced.
+
+Everything is expressed with ``shard_map`` so the collective schedule is
+explicit and XLA overlaps the gather with projection compute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vk_gaussian_splatting_tpu.config import RenderConfig, tiles_x, tiles_y
+from vk_gaussian_splatting_tpu.ops.binning import bin_splats
+from vk_gaussian_splatting_tpu.ops.projection import ProjectedSplats, project_splats
+from vk_gaussian_splatting_tpu.ops.rasterize_pallas import (
+    assemble_image,
+    rasterize_tiles,
+)
+from vk_gaussian_splatting_tpu.render.pipelines import build_pair_attrs, raster_statics
+from vk_gaussian_splatting_tpu.scene.cameras import Camera
+from vk_gaussian_splatting_tpu.scene.splat_set import SplatSet, prepare_splats
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def _render_band(proj: ProjectedSplats, cfg: RenderConfig, max_pairs: int,
+                 band: int, n_bands: int, interpret: bool | None):
+    """Rasterize one horizontal band of tile rows against full projected splats."""
+    ty_total = tiles_y(cfg)
+    assert ty_total % n_bands == 0, "tiles_y must divide the mesh size"
+    ty_local = ty_total // n_bands
+    y_off = (jnp.asarray(band, jnp.float32)
+             * (ty_local * cfg.raster.tile_size))
+
+    shifted = dataclasses.replace(
+        proj, xy=proj.xy - jnp.stack([jnp.zeros((), jnp.float32), y_off]))
+    bins = bin_splats(
+        shifted,
+        tile_size=cfg.raster.tile_size,
+        tiles_x=tiles_x(cfg),
+        tiles_y=ty_local,
+        max_pairs=max_pairs,
+        chunk=cfg.raster.chunk,
+    )
+    attrs = build_pair_attrs(shifted, bins)
+    st = dataclasses.replace(raster_statics(cfg, interpret), tiles_y=ty_local)
+    out = rasterize_tiles(attrs, bins.chunk_tile, bins.chunk_rank,
+                          bins.chunk_last, bins.seg_counts, st)
+    h_local = ty_local * cfg.raster.tile_size
+    img, trans = assemble_image(out, bins.seg_counts, st.tiles_x, ty_local,
+                                cfg.width, h_local, cfg.background)
+    return img, trans
+
+
+def _gather_proj(proj: ProjectedSplats, axis: str) -> ProjectedSplats:
+    g = lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True)
+    return jax.tree.map(g, proj)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_pairs", "mesh", "interpret"))
+def render_3dgs_sharded(splats: SplatSet, cam: Camera, cfg: RenderConfig,
+                        max_pairs: int, mesh: Mesh,
+                        interpret: bool | None = None):
+    """Forward render with splats sharded over the mesh and the image sharded
+    over horizontal bands. Returns (H, W, 3) image (band-sharded)."""
+    axis = mesh.axis_names[0]
+    nd = mesh.shape[axis]
+
+    def shard_fn(splats_local: SplatSet, cam: Camera):
+        prepared = prepare_splats(splats_local, cfg.sh_format)
+        proj = project_splats(prepared, cam, cfg)
+        proj = _gather_proj(proj, axis)
+        band = jax.lax.axis_index(axis)
+        img, trans = _render_band(proj, cfg, max_pairs, band, nd, interpret)
+        return img, trans
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,  # pallas_call outputs carry no vma info
+    )
+    return fn(splats, cam)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_pairs", "mesh", "interpret"))
+def train_step_sharded(splats: SplatSet, cam: Camera, target: jax.Array,
+                       cfg: RenderConfig, max_pairs: int, mesh: Mesh,
+                       lr: float = 1e-2, interpret: bool | None = None):
+    """One SGD step of image-supervised splat optimization over the mesh.
+
+    splats: sharded over the mesh axis (leading dim). target: (H, W, 3)
+    sharded over rows in tile-row bands. Returns (updated splats, loss).
+    """
+    axis = mesh.axis_names[0]
+    nd = mesh.shape[axis]
+
+    def shard_loss(splats_local: SplatSet, cam: Camera, target_local: jax.Array):
+        prepared = prepare_splats(splats_local, cfg.sh_format)
+        proj = project_splats(prepared, cam, cfg)
+        proj = _gather_proj(proj, axis)
+        band = jax.lax.axis_index(axis)
+        img, _ = _render_band(proj, cfg, max_pairs, band, nd, interpret)
+        return jax.lax.psum(jnp.sum((img - target_local) ** 2), axis)
+
+    loss_fn = jax.shard_map(
+        shard_loss, mesh=mesh,
+        in_specs=(P(axis), P(), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    loss, grads = jax.value_and_grad(
+        lambda s: loss_fn(s, cam, target))(splats)
+    new = jax.tree.map(lambda p, g: p - lr * g, splats, grads)
+    return new, loss
