@@ -163,12 +163,12 @@ def test_binning_pairs_against_numpy():
     valid = np.asarray(proj.valid)
     expected = set()
     for i in range(100):
-        if not valid[i] or r[i] <= 0:
+        if not valid[i] or r[i].max() <= 0:
             continue
-        x0 = max(0, int(np.floor((xy[i, 0] - r[i]) / 16)))
-        y0 = max(0, int(np.floor((xy[i, 1] - r[i]) / 16)))
-        x1 = min(3, int(np.floor((xy[i, 0] + r[i]) / 16)))
-        y1 = min(3, int(np.floor((xy[i, 1] + r[i]) / 16)))
+        x0 = max(0, int(np.floor((xy[i, 0] - r[i, 0]) / 16)))
+        y0 = max(0, int(np.floor((xy[i, 1] - r[i, 1]) / 16)))
+        x1 = min(3, int(np.floor((xy[i, 0] + r[i, 0]) / 16)))
+        y1 = min(3, int(np.floor((xy[i, 1] + r[i, 1]) / 16)))
         for ty in range(y0, y1 + 1):
             for tx in range(x0, x1 + 1):
                 expected.add((ty * 4 + tx, i))

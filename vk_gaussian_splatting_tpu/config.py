@@ -93,7 +93,7 @@ class RasterConfig:
 class RtConfig:
     """3DGRT ray-tracing parameters (prmRtx, parameters.h:216-240)."""
 
-    kernel_degree: int = 4        # generalized gaussian degree (threedgrt.h.slang:83-127)
+    kernel_degree: int = 2        # generalized gaussian degree, default quadratic (parameters.h:215)
     k_buffer: int = 18            # PARTICLES_SPP sorted hits per pass (gaussian_splatting.cpp:1693)
     max_passes: int = 200         # marching pass cap (FrameInfo, shaderio.h:269)
     min_transmittance: float = 0.001

@@ -56,11 +56,15 @@ class TileBins:
 
 def tile_rect(xy: jax.Array, radius: jax.Array, tile_size: int,
               tiles_x: int, tiles_y: int):
-    """Per-splat covered tile rectangle [x0,x1) x [y0,y1), clamped to the grid."""
-    x0 = jnp.floor((xy[:, 0] - radius) / tile_size).astype(jnp.int32)
-    y0 = jnp.floor((xy[:, 1] - radius) / tile_size).astype(jnp.int32)
-    x1 = jnp.floor((xy[:, 0] + radius) / tile_size).astype(jnp.int32) + 1
-    y1 = jnp.floor((xy[:, 1] + radius) / tile_size).astype(jnp.int32) + 1
+    """Per-splat covered tile rectangle [x0,x1) x [y0,y1), clamped to the grid.
+
+    radius: (N, 2) per-axis extent (rect bounding, threedgut.h.slang:155-160;
+    isotropic for 3DGS)."""
+    rx, ry = radius[:, 0], radius[:, 1]
+    x0 = jnp.floor((xy[:, 0] - rx) / tile_size).astype(jnp.int32)
+    y0 = jnp.floor((xy[:, 1] - ry) / tile_size).astype(jnp.int32)
+    x1 = jnp.floor((xy[:, 0] + rx) / tile_size).astype(jnp.int32) + 1
+    y1 = jnp.floor((xy[:, 1] + ry) / tile_size).astype(jnp.int32) + 1
     x0 = jnp.clip(x0, 0, tiles_x)
     y0 = jnp.clip(y0, 0, tiles_y)
     x1 = jnp.clip(x1, 0, tiles_x)
@@ -90,7 +94,7 @@ def bin_splats(
     x0, y0, x1, y1 = tile_rect(proj.xy, proj.radius, tile_size, tiles_x, tiles_y)
     w = jnp.maximum(x1 - x0, 0)
     h = jnp.maximum(y1 - y0, 0)
-    counts = jnp.where(proj.valid & (proj.radius > 0), w * h, 0).astype(jnp.int32)
+    counts = jnp.where(proj.valid & (proj.radius.max(axis=1) > 0), w * h, 0).astype(jnp.int32)
 
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
     total = starts[-1] + counts[-1]

@@ -41,7 +41,7 @@ class ProjectedSplats:
     xy: jax.Array       # (N,2) pixel-space projected center
     conic: jax.Array    # (N,3) inverse 2D covariance (a, b, c)
     depth: jax.Array    # (N,)  view-space z
-    radius: jax.Array   # (N,)  extent radius in pixels (0 = culled)
+    radius: jax.Array   # (N,2) rect extent half-size in pixels (0 = culled)
     color: jax.Array    # (N,3) rgb (base + SH radiance)
     alpha: jax.Array    # (N,)  opacity (incl. MS compensation)
     valid: jax.Array    # (N,)  bool
@@ -138,7 +138,7 @@ def project_splats(
         lambda2 = jnp.full_like(lambda2, 0.2)
     radius = jnp.minimum(rc.extent_sigma * jnp.sqrt(jnp.maximum(lambda1, 0.0)),
                          rc.max_basis_px) * cfg.splat_scale
-    radius = jnp.ceil(radius)
+    radius = jnp.ceil(radius)[:, None] * jnp.ones((1, 2), jnp.float32)
 
     # frustum cull on the center in dilated NDC (dist.comp.slang:64-90)
     clip = 1.0 + rc.frustum_dilation
@@ -174,8 +174,142 @@ def project_splats(
             rgb = rgb + sh_rad
         rgb = jnp.clip(rgb, 0.0, None)
 
-    radius = jnp.where(valid, radius, 0.0)
+    radius = jnp.where(valid[:, None], radius, 0.0)
     return ProjectedSplats(
         xy=xy, conic=conic, depth=depth, radius=radius,
+        color=rgb, alpha=alpha, valid=valid,
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3DGUT: unscented-transform projection (threedgut.h.slang:29-121 + camera
+# projections threedgut_camera_projections.h.slang:149-171)
+# ---------------------------------------------------------------------------
+
+GUT_DELTA = 1.7320508075688772  # sqrt(3) = sqrt(alpha^2 (D + kappa)), D=3
+GUT_ALPHA_THRESHOLD = 0.01
+GUT_MARGIN = 0.1                # GUT_IN_IMAGE_MARGIN_FACTOR
+GUT_DILATION = 0.3
+
+
+def fisheye_max_angle(width, height, cx, cy, fx, fy):
+    """threedgut_camera_models.h.slang:89-120 computeMaxAngle."""
+    mx = jnp.maximum(cx, width - cx)
+    my = jnp.maximum(cy, height - cy)
+    max_radius = jnp.sqrt(mx * mx + my * my)
+    return jnp.maximum(max_radius / fx, max_radius / fy)
+
+
+def camera_project_points(cam: Camera, p_cam: jax.Array, cfg: RenderConfig,
+                          margin: float = GUT_MARGIN):
+    """Project camera-space points through the configured sensor model.
+
+    p_cam (..., 3) -> (uv (..., 2), valid (...,)). Pinhole requires z > 0;
+    fisheye (equidistant r = f*theta) accepts theta < maxAngle
+    (projectPointPinhole / projectPointFisheye, camera_projections:91-171).
+    """
+    x, y, z = p_cam[..., 0], p_cam[..., 1], p_cam[..., 2]
+    if cfg.camera_type == CameraType.PINHOLE:
+        zs = jnp.where(z <= 1e-8, 1e-8, z)
+        u = cam.fx * x / zs + cam.cx
+        v = cam.fy * y / zs + cam.cy
+        valid = z > 0
+    else:
+        rho = jnp.sqrt(jnp.maximum(x * x + y * y, 1e-14))
+        theta_full = jnp.arctan2(rho, z)
+        max_angle = fisheye_max_angle(cfg.width, cfg.height, cam.cx, cam.cy,
+                                      cam.fx, cam.fy)
+        theta = jnp.minimum(theta_full, max_angle)
+        delta = theta / rho
+        u = cam.fx * x * delta + cam.cx
+        v = cam.fy * y * delta + cam.cy
+        valid = theta_full < max_angle
+    tol_x = cfg.width * margin
+    tol_y = cfg.height * margin
+    valid = valid & (u > -tol_x) & (v > -tol_y) \
+        & (u < cfg.width + tol_x) & (v < cfg.height + tol_y)
+    return jnp.stack([u, v], -1), valid
+
+
+def ut_project_splats(
+    prepared: PreparedSplats,
+    cam: Camera,
+    cfg: RenderConfig,
+) -> ProjectedSplats:
+    """Unscented-transform projection (threedgutParticleProjection).
+
+    Seven sigma points (mean, mean ± sqrt(3)·s_i·R[:,i]) project through the
+    sensor model; the UT weights collapse to w_mean = 0, w_i = 1/6 for the
+    center and w0_cov = 2 for the covariance (lambda = 0, alpha=1, beta=2 —
+    threedgut_definitions.h.slang:44-51).
+    """
+    from vk_gaussian_splatting_tpu.scene.splat_set import quat_to_rotmat
+
+    rc = cfg.raster
+    means = prepared.means                                   # (N,3)
+    n = means.shape[0]
+    r = quat_to_rotmat(prepared.quats)                       # (N,3,3)
+    s = jnp.exp(prepared.scales_log) * cfg.splat_scale       # (N,3)
+    axes = GUT_DELTA * r * s[:, None, :]                     # columns scaled: (N,3,3)
+
+    pts = jnp.stack(
+        [means]
+        + [means + axes[:, :, i] for i in range(3)]
+        + [means - axes[:, :, i] for i in range(3)],
+        axis=0,
+    )                                                        # (7,N,3)
+    p_cam = pts @ cam.viewmat[:3, :3].T + cam.viewmat[:3, 3]
+    uv, valid_pt = camera_project_points(cam, p_cam, cfg)    # (7,N,2), (7,N)
+
+    w_i = 1.0 / 6.0
+    center = w_i * jnp.sum(uv[1:], axis=0)                   # mean weight = 0
+    d = uv - center[None]                                    # (7,N,2)
+    w0_cov = 2.0  # lambda/(D+lambda) + (1 - alpha^2 + beta)
+    outer = jnp.stack([d[..., 0] * d[..., 0], d[..., 0] * d[..., 1],
+                       d[..., 1] * d[..., 1]], axis=-1)      # (7,N,3)
+    cov = w0_cov * outer[0] + w_i * jnp.sum(outer[1:], axis=0)  # (N,3)
+
+    a = cov[:, 0] + GUT_DILATION
+    b = cov[:, 1]
+    c = cov[:, 2] + GUT_DILATION
+    det = a * c - b * b
+    det_safe = jnp.where(det == 0, 1.0, det)
+    conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], -1)
+
+    alpha = prepared.color[:, 3] * cfg.opacity_gain
+    if rc.ms_antialiasing:
+        det_orig = cov[:, 0] * cov[:, 2] - cov[:, 1] * cov[:, 1]
+        alpha = alpha * jnp.sqrt(jnp.maximum(2.5e-5, det_orig / det_safe))
+
+    # tight opacity-bounded rect extent (threedgutProjectedExtentConicOpacity)
+    max_power = jnp.log(jnp.maximum(alpha, GUT_ALPHA_THRESHOLD) / GUT_ALPHA_THRESHOLD)
+    extent_factor = jnp.minimum(3.33, jnp.sqrt(2.0 * max_power))
+    mid = 0.5 * (a + c)
+    lam = mid + jnp.sqrt(jnp.maximum(0.01, mid * mid - det))
+    radius = extent_factor * jnp.sqrt(lam)
+    rx = jnp.minimum(extent_factor * jnp.sqrt(jnp.maximum(a, 0.0)), radius)
+    ry = jnp.minimum(extent_factor * jnp.sqrt(jnp.maximum(c, 0.0)), radius)
+    rect = jnp.ceil(jnp.stack([rx, ry], -1))
+
+    depth = p_cam[0, :, 2]
+    valid = (jnp.any(valid_pt, axis=0)
+             & (det != 0)
+             & (alpha >= GUT_ALPHA_THRESHOLD)
+             & (radius > 0))
+
+    rgb = prepared.color[:, :3]
+    if cfg.sh_degree >= 1 and prepared.sh.shape[1] > 0:
+        dirs = means - cam.position
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
+        sh_rad = eval_sh_radiance(dequantize_sh(prepared.sh), dirs, cfg.sh_degree)
+        if cfg.show_sh_only:
+            rgb = jnp.full_like(rgb, 0.5) + sh_rad
+        else:
+            rgb = rgb + sh_rad
+        rgb = jnp.clip(rgb, 0.0, None)
+
+    rect = jnp.where(valid[:, None], rect, 0.0)
+    return ProjectedSplats(
+        xy=center, conic=conic, depth=depth, radius=rect,
         color=rgb, alpha=alpha, valid=valid,
     )

@@ -1,9 +1,11 @@
-"""Pallas TPU tile rasterizer — forward + custom-VJP backward.
+"""Pallas TPU tile blender — forward + custom-VJP backward, generic over
+response models (2D conic splats for 3DGS, exact 3D ray response for 3DGUT).
 
-TPU-native replacement for the reference's raster pipelines (mesh shader S3 +
-fragment blend S5, threedgs_raster.{mesh,frag}.slang). Where the GPU rasterizes
-oriented quads with per-fragment interlocked blending, the TPU kernel blends
-each 16x16 tile's depth-sorted splat list front-to-back in chunks of C splats.
+TPU-native replacement for the reference's raster pipelines (mesh shaders S3/S7
++ fragment blends S5, threedgs_raster.* / threedgut_raster.*). Where the GPU
+rasterizes oriented quads with per-fragment interlocked blending, the TPU
+kernel blends each 16x16 tile's depth-sorted splat list front-to-back in
+chunks of C splats.
 
 Design notes (all shaped by Mosaic/TPU semantics):
 
@@ -32,12 +34,14 @@ Design notes (all shaped by Mosaic/TPU semantics):
   S_total = sum_j w_j (c_j.g) equals rgb_out.g_rgb, computable in XLA from the
   *saved forward output*, so S_k = S_total - S_incl_k falls out of a forward
   prefix sum. No reverse iteration, no divide-by-(1-alpha) transmittance
-  reconstruction. Gradients flow to mean2d, conic, opacity and color, matching
-  what the CUDA 3DGS backward produces.
+  reconstruction.
+- **Response gradients come from in-kernel jax.vjp** of the model's alpha
+  function (ops/response.py) — any new response model (GUT's 3D ray kernel,
+  stochastic variants) gets a correct backward for free; only the blend
+  recurrence is hand-transposed.
 
-Attribute row layout (ATTR_* indices below), array shape (16, P):
-  0 x, 1 y, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity, 6 r, 7 g, 8 b,
-  9 depth, 10..15 reserved.
+Per-tile pixel context (gut3d): camera rays ride an HBM array (T, 8, 256)
+(rows RAY_* of response.py), DMA'd + transposed to (256, 8) once per tile.
 Output per tile: (8, 256) block (channels in sublanes, pixels in lanes —
 HBM minor dims below 128 get padded and misalign DMA): rows 0..2 rgb, row 3
 transmittance, rows 4..7 reserved (picked depth / splat id / normal aux).
@@ -55,6 +59,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vk_gaussian_splatting_tpu.ops.response import ALPHA_FNS, USES_PIX_CTX
+
+# legacy aliases for the gs2d attr layout (see ops/response.py for all rows)
 ATTR_X = 0
 ATTR_Y = 1
 ATTR_CA = 2
@@ -71,7 +78,7 @@ TILE = 16
 PIX = TILE * TILE  # 256 pixels per tile
 OUT_COLS = 8       # rgb, T, 4 reserved
 
-# backward context columns (per tile, built in XLA from fwd out + cotangents)
+# backward context rows (per tile, built in XLA from fwd out + cotangents)
 CTX_GR, CTX_GG, CTX_GB, CTX_STOTAL, CTX_GTTN = 0, 1, 2, 3, 4
 
 
@@ -86,6 +93,9 @@ class RasterStatics:
     alpha_clamp: float = 0.999
     qmax: float = 8.0
     min_transmittance: float = 1e-4
+    model: str = "gs2d"            # response model (ops/response.py)
+    kernel_degree: int = 2         # gut3d generalized-gaussian degree
+    kernel_min_response: float = 0.0113
     interpret: bool = False
 
 
@@ -128,36 +138,28 @@ def _tile_pixel_coords(t: jax.Array, tiles_x: int):
     return px, py
 
 
-def _chunk_alpha(block: jax.Array, px, py, n_remaining, st: RasterStatics):
-    """Per-chunk alpha evaluation shared by fwd and bwd.
+def _alpha_closure(st: RasterStatics, pix, px, py, n_remaining):
+    alpha_fn = ALPHA_FNS[st.model]
 
-    block: (16, C) attrs. Intermediates are (256, C) or (1, C).
-    """
-    x = block[ATTR_X:ATTR_X + 1, :]
-    y = block[ATTR_Y:ATTR_Y + 1, :]
-    ca = block[ATTR_CA:ATTR_CA + 1, :]
-    cb = block[ATTR_CB:ATTR_CB + 1, :]
-    cc = block[ATTR_CC:ATTR_CC + 1, :]
-    op = block[ATTR_OPACITY:ATTR_OPACITY + 1, :]
+    def f(block):
+        live = (jax.lax.broadcasted_iota(jnp.int32, (1, block.shape[1]), 1)
+                < n_remaining)
+        return alpha_fn(block, pix, px, py, live, st)
 
-    dx = px - x   # (256, C)
-    dy = py - y
-    d = ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
-    g = jnp.exp(-0.5 * d)
-    a_raw = op * g
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, block.shape[1]), 1)
-    live = lane < n_remaining
-    mask = (d <= st.qmax) & (a_raw >= st.alpha_min) & live
-    alpha = jnp.where(mask, jnp.minimum(a_raw, st.alpha_clamp), 0.0)
-    return dict(dx=dx, dy=dy, g=g, a_raw=a_raw, mask=mask, alpha=alpha,
-                op=op, ca=ca, cb=cb, cc=cc)
+    return f
 
 
 def _make_fwd_kernel(st: RasterStatics):
     c = st.chunk
+    uses_pix = USES_PIX_CTX[st.model]
 
-    def kernel(tile_ref, rank_ref, last_ref, counts_ref, attrs_ref,
-               out_ref, acc, t_col, outbuf, sem):
+    def kernel(tile_ref, rank_ref, last_ref, counts_ref, attrs_ref, *rest):
+        if uses_pix:
+            (pixctx_ref, out_ref, acc, t_col, outbuf,
+             pixraw, pixscr, sem, psem) = rest
+        else:
+            out_ref, acc, t_col, outbuf, sem = rest
+            pixscr = None
         j = pl.program_id(0)
         t = tile_ref[j]
         k = rank_ref[j]
@@ -169,17 +171,23 @@ def _make_fwd_kernel(st: RasterStatics):
             def _reset():
                 acc[:, :] = jnp.zeros((PIX, 3), jnp.float32)
                 t_col[:, :] = jnp.ones((PIX, 1), jnp.float32)
+                if uses_pix:
+                    copy = pltpu.make_async_copy(pixctx_ref.at[t], pixraw, psem)
+                    copy.start()
+                    copy.wait()
+                    pixscr[:, :] = jnp.transpose(pixraw[:, :])
 
             n_remaining = counts_ref[t] - k * c
 
             @pl.when(jnp.max(t_col[:, :]) > st.min_transmittance)
             def _blend():
                 block = attrs_ref[:, :]
-                ck = _chunk_alpha(block, px, py, n_remaining, st)
-                q = 1.0 - ck["alpha"]
+                pix = pixscr[:, :] if uses_pix else None
+                alpha = _alpha_closure(st, pix, px, py, n_remaining)(block)
+                q = 1.0 - alpha
                 excl = _cumprod_exclusive(q)
                 tc = t_col[:, :]
-                w = ck["alpha"] * excl * tc                    # (256, C)
+                w = alpha * excl * tc                          # (256, C)
                 cols = block[ATTR_R:ATTR_B + 1, :]             # (3, C)
                 acc[:, :] = acc[:, :] + jax.lax.dot_general(
                     w, cols, (((1,), (1,)), ((), ())),
@@ -205,9 +213,15 @@ def _make_fwd_kernel(st: RasterStatics):
 
 def _make_bwd_kernel(st: RasterStatics):
     c = st.chunk
+    uses_pix = USES_PIX_CTX[st.model]
 
-    def kernel(tile_ref, rank_ref, counts_ref, attrs_ref, ctx_hbm_ref,
-               dattrs_ref, t_col, s_run, ctx, sem):
+    def kernel(tile_ref, rank_ref, counts_ref, attrs_ref, ctx_hbm_ref, *rest):
+        if uses_pix:
+            (pixctx_ref, dattrs_ref, t_col, s_run, ctx,
+             pixraw, pixscr, sem, psem) = rest
+        else:
+            dattrs_ref, t_col, s_run, ctx, sem = rest
+            pixscr = None
         j = pl.program_id(0)
         t = tile_ref[j]
         k = rank_ref[j]
@@ -220,14 +234,20 @@ def _make_bwd_kernel(st: RasterStatics):
             copy = pltpu.make_async_copy(ctx_hbm_ref.at[t], ctx, sem)
             copy.start()
             copy.wait()
+            if uses_pix:
+                copy2 = pltpu.make_async_copy(pixctx_ref.at[t], pixraw, psem)
+                copy2.start()
+                copy2.wait()
+                pixscr[:, :] = jnp.transpose(pixraw[:, :])
 
         n_remaining = jnp.where(t >= 0, counts_ref[jnp.maximum(t, 0)], 0) - k * c
         computing = (t >= 0) & (jnp.max(t_col[:, :]) > st.min_transmittance)
 
         # Always write the full gradient block (skipped chunks => zero grads).
         block = attrs_ref[:, :]
-        ck = _chunk_alpha(block, px, py, n_remaining, st)
-        alpha = ck["alpha"]
+        pix = pixscr[:, :] if uses_pix else None
+        alpha_f = _alpha_closure(st, pix, px, py, n_remaining)
+        alpha, alpha_vjp = jax.vjp(alpha_f, block)
         q = 1.0 - alpha
         excl = _cumprod_exclusive(q)
         tc = t_col[:, :]
@@ -242,36 +262,23 @@ def _make_bwd_kernel(st: RasterStatics):
             preferred_element_type=jnp.float32,
         )                                                     # (256, C)
         wcg = w * cg
-        s_incl = s_run[:, :] + _cumsum_inclusive(wcg)         # Σ_{j<=k}
-        suffix = s_total - s_incl                             # Σ_{j>k}
+        s_incl = s_run[:, :] + _cumsum_inclusive(wcg)         # sum_{j<=k}
+        suffix = s_total - s_incl                             # sum_{j>k}
         qsafe = jnp.maximum(q, 1.0 - st.alpha_clamp)
         dalpha = t_k * cg - (suffix + gt_tn) / qsafe
-        dalpha = jnp.where(ck["mask"], dalpha, 0.0)
-        dalpha_raw = jnp.where(ck["a_raw"] <= st.alpha_clamp, dalpha, 0.0)
-        dalpha_raw = jnp.where(computing, dalpha_raw, 0.0)
+        dalpha = jnp.where(computing, dalpha, 0.0)
 
-        g_ = ck["g"]
-        dd = -0.5 * dalpha_raw * ck["op"] * g_
-        dx, dy = ck["dx"], ck["dy"]
-        do = jnp.sum(dalpha_raw * g_, axis=0, keepdims=True)       # (1,C)
-        da = jnp.sum(dd * dx * dx, axis=0, keepdims=True)
-        db = jnp.sum(dd * 2.0 * dx * dy, axis=0, keepdims=True)
-        dc = jnp.sum(dd * dy * dy, axis=0, keepdims=True)
-        ca2 = 2.0 * ck["ca"]
-        cb2 = 2.0 * ck["cb"]
-        cc2 = 2.0 * ck["cc"]
-        dmx = jnp.sum(-dd * (ca2 * dx + cb2 * dy), axis=0, keepdims=True)
-        dmy = jnp.sum(-dd * (cc2 * dy + cb2 * dx), axis=0, keepdims=True)
+        (d_block,) = alpha_vjp(dalpha)
         wmask = jnp.where(computing, w, 0.0)
         dcol = jax.lax.dot_general(
             g_rgb_t, wmask, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                          # (3,C)
-
-        zero_row = jnp.zeros((1, c), jnp.float32)
+        # Mosaic has no scatter-add; splice the color-gradient rows in with
+        # static slices.
         dattrs_ref[:, :] = jnp.concatenate(
-            [dmx, dmy, da, db, dc, do, dcol] + [zero_row] * (NUM_ATTRS - 9), axis=0
-        )
+            [d_block[:ATTR_R, :], d_block[ATTR_R:ATTR_B + 1, :] + dcol,
+             d_block[ATTR_B + 1:, :]], axis=0)
 
         @pl.when(computing)
         def _advance():
@@ -281,27 +288,45 @@ def _make_bwd_kernel(st: RasterStatics):
     return kernel
 
 
+def _pix_specs_and_scratch(st: RasterStatics):
+    specs = [pl.BlockSpec(memory_space=pltpu.HBM)]  # pix ctx (T, 8, 256)
+    scratch = [
+        pltpu.VMEM((OUT_COLS, PIX), jnp.float32),   # pixraw (as stored)
+        pltpu.VMEM((PIX, OUT_COLS), jnp.float32),   # pixscr (transposed)
+    ]
+    return specs, scratch
+
+
 @functools.lru_cache(maxsize=64)
 def _fwd_call(st: RasterStatics, num_chunks: int):
     num_tiles = st.tiles_x * st.tiles_y
+    uses_pix = USES_PIX_CTX[st.model]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_tile (S,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_rank (S,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_last (S,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seg_counts (T,)
+        pl.BlockSpec((NUM_ATTRS, st.chunk), lambda j: (0, j),
+                     memory_space=pltpu.VMEM),  # attrs chunk (pipelined)
+    ]
+    scratch = [
+        pltpu.VMEM((PIX, 3), jnp.float32),        # acc
+        pltpu.VMEM((PIX, 1), jnp.float32),        # t_col
+        pltpu.VMEM((OUT_COLS, PIX), jnp.float32),  # outbuf
+    ]
+    if uses_pix:
+        ps, sc = _pix_specs_and_scratch(st)
+        in_specs += ps
+        scratch += sc
+        scratch += [pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(())]
+    else:
+        scratch += [pltpu.SemaphoreType.DMA(())]
     return pl.pallas_call(
         _make_fwd_kernel(st),
         grid=(num_chunks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_tile (S,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_rank (S,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_last (S,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # seg_counts (T,)
-            pl.BlockSpec((NUM_ATTRS, st.chunk), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),  # attrs chunk (pipelined)
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        scratch_shapes=[
-            pltpu.VMEM((PIX, 3), jnp.float32),        # acc
-            pltpu.VMEM((PIX, 1), jnp.float32),        # t_col
-            pltpu.VMEM((OUT_COLS, PIX), jnp.float32),  # outbuf
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch,
         out_shape=jax.ShapeDtypeStruct((num_tiles, OUT_COLS, PIX), jnp.float32),
         interpret=st.interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -310,60 +335,72 @@ def _fwd_call(st: RasterStatics, num_chunks: int):
 
 @functools.lru_cache(maxsize=64)
 def _bwd_call(st: RasterStatics, num_chunks: int):
-    num_tiles = st.tiles_x * st.tiles_y
+    uses_pix = USES_PIX_CTX[st.model]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_tile (S,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_rank (S,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seg_counts (T,)
+        pl.BlockSpec((NUM_ATTRS, st.chunk), lambda j: (0, j),
+                     memory_space=pltpu.VMEM),  # attrs chunk (pipelined)
+        pl.BlockSpec(memory_space=pltpu.HBM),   # bwd ctx (T, 8, 256)
+    ]
+    scratch = [
+        pltpu.VMEM((PIX, 1), jnp.float32),        # t_col
+        pltpu.VMEM((PIX, 1), jnp.float32),        # s_run
+        pltpu.VMEM((OUT_COLS, PIX), jnp.float32),  # ctx tile block
+    ]
+    if uses_pix:
+        ps, sc = _pix_specs_and_scratch(st)
+        in_specs += ps
+        scratch += sc
+        scratch += [pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(())]
+    else:
+        scratch += [pltpu.SemaphoreType.DMA(())]
     return pl.pallas_call(
         _make_bwd_kernel(st),
         grid=(num_chunks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_tile (S,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_rank (S,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # seg_counts (T,)
-            pl.BlockSpec((NUM_ATTRS, st.chunk), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),  # attrs chunk (pipelined)
-            pl.BlockSpec(memory_space=pltpu.HBM),   # bwd ctx (T, 256, 8)
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((NUM_ATTRS, st.chunk), lambda j: (0, j),
                                memory_space=pltpu.VMEM),  # d_attrs chunk
-        scratch_shapes=[
-            pltpu.VMEM((PIX, 1), jnp.float32),        # t_col
-            pltpu.VMEM((PIX, 1), jnp.float32),        # s_run
-            pltpu.VMEM((OUT_COLS, PIX), jnp.float32),  # ctx tile block
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch,
         out_shape=jax.ShapeDtypeStruct(
             (NUM_ATTRS, num_chunks * st.chunk), jnp.float32),
         interpret=st.interpret,
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5,))
+@partial(jax.custom_vjp, nondiff_argnums=(6,))
 def rasterize_tiles(attrs: jax.Array, chunk_tile: jax.Array,
                     chunk_rank: jax.Array, chunk_last: jax.Array,
-                    seg_counts: jax.Array, st: RasterStatics):
-    """Blend sorted pair attrs into per-tile (256, 8) outputs.
+                    seg_counts: jax.Array, pix_ctx,
+                    st: RasterStatics):
+    """Blend sorted pair attrs into per-tile (8, 256) outputs.
 
-    attrs: (16, P) f32 pair-ordered (ATTR_* rows); P = num_chunks * st.chunk
-      with chunk-aligned tile segments (binning).
+    attrs: (16, P) f32 pair-ordered (rows per st.model — ops/response.py);
+      P = num_chunks * st.chunk with chunk-aligned tile segments (binning).
     chunk_tile/rank/last: (S,) i32 chunk schedule (tile id or -1, in-tile rank,
       last-chunk-of-tile flag).
     seg_counts: (T,) i32 true per-tile pair counts.
+    pix_ctx: (T, 8, 256) per-tile pixel rays for gut3d models; None for gs2d.
     Returns (T, 8, 256): rows 0-2 rgb, row 3 transmittance. Tiles with zero
     pairs are NOT written — callers must mask with seg_counts (render pipeline
     does).
     """
     num_chunks = attrs.shape[1] // st.chunk
-    return _fwd_call(st, num_chunks)(
-        chunk_tile, chunk_rank, chunk_last, seg_counts, attrs)
+    args = [chunk_tile, chunk_rank, chunk_last, seg_counts, attrs]
+    if USES_PIX_CTX[st.model]:
+        args.append(pix_ctx)
+    return _fwd_call(st, num_chunks)(*args)
 
 
-def _rt_fwd(attrs, chunk_tile, chunk_rank, chunk_last, seg_counts, st):
+def _rt_fwd(attrs, chunk_tile, chunk_rank, chunk_last, seg_counts, pix_ctx, st):
     out = rasterize_tiles(attrs, chunk_tile, chunk_rank, chunk_last,
-                          seg_counts, st)
-    return out, (attrs, chunk_tile, chunk_rank, seg_counts, out)
+                          seg_counts, pix_ctx, st)
+    return out, (attrs, chunk_tile, chunk_rank, seg_counts, pix_ctx, out)
 
 
 def _rt_bwd(st, res, g):
-    attrs, chunk_tile, chunk_rank, seg_counts, out = res
+    attrs, chunk_tile, chunk_rank, seg_counts, pix_ctx, out = res
     # Backward context per tile, from the saved forward output:
     #   S_total = rgb_out . g_rgb   (sum_j w_j (c_j.g) — no extra sweep)
     #   gt_tn   = g_T * T_final
@@ -378,11 +415,14 @@ def _rt_bwd(st, res, g):
     ctx = jnp.where(live_tile, ctx, 0.0)
 
     num_chunks = attrs.shape[1] // st.chunk
-    d_attrs = _bwd_call(st, num_chunks)(
-        chunk_tile, chunk_rank, seg_counts, attrs, ctx)
+    args = [chunk_tile, chunk_rank, seg_counts, attrs, ctx]
+    if USES_PIX_CTX[st.model]:
+        args.append(pix_ctx)
+    d_attrs = _bwd_call(st, num_chunks)(*args)
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    d_pix = None if pix_ctx is None else jnp.zeros_like(pix_ctx)
     return (d_attrs, f0(chunk_tile), f0(chunk_rank),
-            f0(chunk_tile), f0(seg_counts))
+            f0(chunk_tile), f0(seg_counts), d_pix)
 
 
 rasterize_tiles.defvjp(_rt_fwd, _rt_bwd)

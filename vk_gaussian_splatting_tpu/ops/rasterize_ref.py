@@ -64,3 +64,63 @@ def rasterize_naive(
     bg = jnp.asarray(background, jnp.float32)
     img = rgb + t_final[:, None] * bg
     return img.reshape(height, width, 3), t_final.reshape(height, width)
+
+
+def blend_ftb(alpha: jax.Array, color_sorted: jax.Array, background):
+    """Shared front-to-back compositing: alpha (P,N) in sorted order,
+    color_sorted (N,3). Returns (rgb (P,3), transmittance (P,))."""
+    q = 1.0 - alpha
+    t_excl = jnp.concatenate(
+        [jnp.ones_like(q[:, :1]), jnp.cumprod(q, axis=1)[:, :-1]], axis=1)
+    w = alpha * t_excl
+    rgb = w @ color_sorted
+    t_final = jnp.prod(q, axis=1)
+    bg = jnp.asarray(background, jnp.float32)
+    return rgb + t_final[:, None] * bg, t_final
+
+
+def rasterize_naive_gut(
+    prepared,
+    proj: ProjectedSplats,
+    dirs: jax.Array,      # (H,W,3) unit ray directions (world/model space)
+    origins: jax.Array,   # (H,W,3) ray origins
+    rc: RasterConfig = RasterConfig(),
+    kernel_degree: int = 2,
+    kernel_min_response: float = 0.0113,
+    splat_scale: float = 1.0,
+    background=(0.0, 0.0, 0.0),
+):
+    """Oracle for the gut3d response: per-pixel exact 3D ray evaluation over
+    all splats in depth order (particleProcessHitGut, threedgrt.h.slang:238-278
+    + the FTB blend of threedgut_raster.frag.slang)."""
+    from vk_gaussian_splatting_tpu.ops.response import kernel_response
+    from vk_gaussian_splatting_tpu.scene.splat_set import quat_to_rotmat
+
+    h, w = dirs.shape[:2]
+    depth_sorted = jnp.where(proj.valid, proj.depth, jnp.inf)
+    order = jnp.argsort(depth_sorted, stable=True)
+
+    pos = prepared.means[order]                        # (N,3)
+    scl = jnp.exp(prepared.scales_log[order]) * splat_scale
+    rot = quat_to_rotmat(prepared.quats[order])        # (N,3,3)
+    op = proj.alpha[order]
+    color = proj.color[order]
+    valid = proj.valid[order]
+
+    d = dirs.reshape(-1, 1, 3)                         # (P,1,3)
+    o = origins.reshape(-1, 1, 3)
+    rel = o - pos[None]                                # (P,N,3)
+    oc = jnp.einsum("pni,nij->pnj", rel, rot) / jnp.maximum(scl[None], 1e-12)
+    dc = jnp.einsum("pni,nij->pnj", jnp.broadcast_to(d, rel.shape), rot) \
+        / jnp.maximum(scl[None], 1e-12)
+    dc = dc / jnp.linalg.norm(dc, axis=-1, keepdims=True).clip(1e-15)
+    cr = jnp.cross(dc, oc)
+    dist_sq = jnp.sum(cr * cr, axis=-1)                # (P,N)
+
+    resp = kernel_response(dist_sq, kernel_degree)
+    a_raw = op[None] * resp
+    mask = (a_raw > rc.alpha_min) & (resp > kernel_min_response) & valid[None]
+    alpha = jnp.where(mask, jnp.minimum(a_raw, rc.alpha_clamp), 0.0)
+
+    rgb, t_final = blend_ftb(alpha, color, background)
+    return rgb.reshape(h, w, 3), t_final.reshape(h, w)

@@ -1,0 +1,138 @@
+"""Per-splat response models evaluated by the tile blender.
+
+Two families, mirroring the reference's raster fragment shaders:
+
+- ``gs2d``: projected 2D conic Gaussian (threedgs_raster.frag.slang:236-255):
+  d = (p-mu)' conic (p-mu), response = exp(-0.5 d), discard d > 8.
+- ``gut3d``: exact 3D ray-particle response used by 3DGUT rasterization and
+  3DGRT (threedgrt.h.slang:57-127, particleCannonicalRay +
+  particleRayMinSquaredDistance + generalized-Gaussian kernels;
+  particleProcessHitGut :238-278): the pixel's camera ray transforms into the
+  particle's canonical frame and the kernel evaluates at the minimum
+  squared distance.
+
+Both are closed-form elementwise pipelines over (256 pixels, C splats) blocks;
+the tile blender gets gradients through them with in-kernel ``jax.vjp``, so a
+new response model automatically gets a correct backward.
+
+Attribute-row layouts (shape (16, C) blocks):
+  gs2d : 0 x, 1 y, 2-4 conic(a,b,c), 5 opacity, 6-8 rgb, 9 depth
+  gut3d: 0-2 position, 3-5 scale(linear), 6-8 rgb, 9-12 quat(wxyz, unit),
+         13 opacity, 14 depth
+Color rows are 6-8 in every layout (the blender contracts them); the depth row
+feeds aux outputs only.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# shared rows
+ATTR_R, ATTR_G, ATTR_B = 6, 7, 8
+
+# gs2d rows
+GS_X, GS_Y, GS_CA, GS_CB, GS_CC, GS_OPACITY, GS_DEPTH = 0, 1, 2, 3, 4, 5, 9
+
+# gut3d rows
+GUT_PX, GUT_PY, GUT_PZ = 0, 1, 2
+GUT_SX, GUT_SY, GUT_SZ = 3, 4, 5
+GUT_QW, GUT_QX, GUT_QY, GUT_QZ = 9, 10, 11, 12
+GUT_OPACITY, GUT_DEPTH = 13, 14
+
+# pixel-context (rays) rows for gut3d, in the (8, 256) per-tile block
+RAY_DX, RAY_DY, RAY_DZ, RAY_OX, RAY_OY, RAY_OZ = 0, 1, 2, 3, 4, 5
+
+
+def kernel_response(ray_dist_sq: jax.Array, degree: int) -> jax.Array:
+    """Generalized Gaussian of degree n, scale s = -4.5/3^n
+    (threedgrt.h.slang:83-127). ray_dist_sq is the squared canonical distance."""
+    d = ray_dist_sq
+    if degree == 8:
+        return jnp.exp(-0.000685871056241 * (d * d) * (d * d))
+    if degree == 5:
+        return jnp.exp(-0.0185185185185 * d * d * jnp.sqrt(d))
+    if degree == 4:
+        return jnp.exp(-0.0555555555556 * d * d)
+    if degree == 3:
+        return jnp.exp(-0.166666666667 * d * jnp.sqrt(d))
+    if degree == 1:
+        return jnp.exp(-1.5 * jnp.sqrt(d))
+    if degree == 0:
+        return jnp.maximum(1.0 - 0.329630334487 * jnp.sqrt(d), 0.0)
+    return jnp.exp(-0.5 * d)  # degree 2 (default quadratic)
+
+
+def gs2d_alpha(block, pix, px, py, live, st):
+    """(256, C) alpha from the 2D conic model. pix unused."""
+    x = block[GS_X:GS_X + 1, :]
+    y = block[GS_Y:GS_Y + 1, :]
+    ca = block[GS_CA:GS_CA + 1, :]
+    cb = block[GS_CB:GS_CB + 1, :]
+    cc = block[GS_CC:GS_CC + 1, :]
+    op = block[GS_OPACITY:GS_OPACITY + 1, :]
+
+    dx = px - x
+    dy = py - y
+    d = ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+    g = jnp.exp(-0.5 * d)
+    a_raw = op * g
+    mask = (d <= st.qmax) & (a_raw >= st.alpha_min) & live
+    return jnp.where(mask, jnp.minimum(a_raw, st.alpha_clamp), 0.0)
+
+
+def gut3d_alpha(block, pix, px, py, live, st):
+    """(256, C) alpha from the exact 3D ray response.
+
+    pix: (256, 8) per-pixel rays — cols RAY_D* unit direction, RAY_O* origin,
+    both already in the splat-set model frame (threedgut_raster.frag.slang:
+    115-121 transforms by the instance inverse).
+    """
+    pos = [block[i:i + 1, :] for i in (GUT_PX, GUT_PY, GUT_PZ)]
+    scl = [block[i:i + 1, :] for i in (GUT_SX, GUT_SY, GUT_SZ)]
+    qw = block[GUT_QW:GUT_QW + 1, :]
+    qx = block[GUT_QX:GUT_QX + 1, :]
+    qy = block[GUT_QY:GUT_QY + 1, :]
+    qz = block[GUT_QZ:GUT_QZ + 1, :]
+    op = block[GUT_OPACITY:GUT_OPACITY + 1, :]
+
+    # rotation matrix entries (world-from-canonical R); R^T transforms into
+    # the canonical frame (quatToMat3Transpose, threedgrt.h.slang:48-49)
+    r = [
+        [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz), 2 * (qx * qz + qw * qy)],
+        [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qw * qx)],
+        [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx), 1 - 2 * (qx * qx + qy * qy)],
+    ]
+    inv_s = [1.0 / jnp.maximum(s, 1e-12) for s in scl]
+
+    d_pix = [pix[:, i:i + 1] for i in (RAY_DX, RAY_DY, RAY_DZ)]   # (256,1)
+    o_pix = [pix[:, i:i + 1] for i in (RAY_OX, RAY_OY, RAY_OZ)]
+
+    # canonical ray (threedgrt.h.slang:57-75): v_c = (R^T v) / s
+    oc = []
+    dc = []
+    for j in range(3):
+        o_j = (r[0][j] * (o_pix[0] - pos[0])
+               + r[1][j] * (o_pix[1] - pos[1])
+               + r[2][j] * (o_pix[2] - pos[2])) * inv_s[j]
+        d_j = (r[0][j] * d_pix[0] + r[1][j] * d_pix[1]
+               + r[2][j] * d_pix[2]) * inv_s[j]
+        oc.append(o_j)
+        dc.append(d_j)
+    dn = jax.lax.rsqrt(dc[0] * dc[0] + dc[1] * dc[1] + dc[2] * dc[2] + 1e-30)
+    dc = [d * dn for d in dc]
+
+    # min squared distance = |d x o|^2 (threedgrt.h.slang:77-81)
+    cr0 = dc[1] * oc[2] - dc[2] * oc[1]
+    cr1 = dc[2] * oc[0] - dc[0] * oc[2]
+    cr2 = dc[0] * oc[1] - dc[1] * oc[0]
+    dist_sq = cr0 * cr0 + cr1 * cr1 + cr2 * cr2
+
+    resp = kernel_response(dist_sq, st.kernel_degree)
+    a_raw = op * resp
+    mask = (a_raw > st.alpha_min) & (resp > st.kernel_min_response) & live
+    return jnp.where(mask, jnp.minimum(a_raw, st.alpha_clamp), 0.0)
+
+
+ALPHA_FNS = {"gs2d": gs2d_alpha, "gut3d": gut3d_alpha}
+USES_PIX_CTX = {"gs2d": False, "gut3d": True}

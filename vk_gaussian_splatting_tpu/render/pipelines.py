@@ -20,7 +20,12 @@ import jax.numpy as jnp
 
 from vk_gaussian_splatting_tpu.config import Pipeline, RenderConfig, tiles_x, tiles_y
 from vk_gaussian_splatting_tpu.ops.binning import TileBins, bin_splats
-from vk_gaussian_splatting_tpu.ops.projection import ProjectedSplats, project_splats
+from vk_gaussian_splatting_tpu.ops.projection import (
+    ProjectedSplats,
+    project_splats,
+    ut_project_splats,
+)
+from vk_gaussian_splatting_tpu.ops import response as R
 from vk_gaussian_splatting_tpu.ops.rasterize_pallas import (
     ATTR_B,
     ATTR_CA,
@@ -111,11 +116,87 @@ def render_3dgs(
     attrs = build_pair_attrs(proj, bins)
     st = raster_statics(cfg, interpret)
     out = rasterize_tiles(attrs, bins.chunk_tile, bins.chunk_rank,
-                          bins.chunk_last, bins.seg_counts, st)
+                          bins.chunk_last, bins.seg_counts, None, st)
     img, trans = assemble_image(out, bins.seg_counts, st.tiles_x, st.tiles_y,
                                 cfg.width, cfg.height, cfg.background)
     return RenderOutput(
         image=img,
+        transmittance=trans,
+        num_pairs=bins.num_pairs,
+        overflow=bins.overflow,
+    )
+
+
+def build_gut_pair_attrs(prepared: PreparedSplats, proj: ProjectedSplats,
+                         bins: TileBins, cfg: RenderConfig) -> jax.Array:
+    """(16, P) pair attributes in the gut3d row layout (ops/response.py)."""
+    ps = bins.pair_splat
+    p = ps.shape[0]
+    quats = prepared.quats / jnp.linalg.norm(
+        prepared.quats, axis=-1, keepdims=True).clip(1e-12)
+    scl = jnp.exp(prepared.scales_log) * cfg.splat_scale
+    rows = [
+        prepared.means[ps, 0], prepared.means[ps, 1], prepared.means[ps, 2],
+        scl[ps, 0], scl[ps, 1], scl[ps, 2],
+        proj.color[ps, 0], proj.color[ps, 1], proj.color[ps, 2],
+        quats[ps, 0], quats[ps, 1], quats[ps, 2], quats[ps, 3],
+        proj.alpha[ps],
+        proj.depth[ps],
+    ]
+    attrs = jnp.stack(rows, axis=0)
+    return jnp.concatenate(
+        [attrs, jnp.zeros((NUM_ATTRS - len(rows), p), jnp.float32)], axis=0
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_pairs", "interpret"))
+def render_3dgut(
+    prepared: PreparedSplats,
+    cam: Camera,
+    cfg: RenderConfig,
+    max_pairs: int,
+    interpret: bool | None = None,
+) -> RenderOutput:
+    """3DGUT raster pipeline (PIPELINE_MESH_3DGUT): unscented-transform
+    projection for binning + exact per-pixel 3D ray response in the blender,
+    with thin-lens DoF and temporal-sample averaging (post.comp.slang)."""
+    from vk_gaussian_splatting_tpu.render.rays import build_tile_rays
+
+    if cfg.raster.tile_size != 16:
+        raise ValueError("pallas raster path requires tile_size == 16")
+    proj = ut_project_splats(prepared, cam, cfg)
+    bins = bin_splats(
+        proj,
+        tile_size=cfg.raster.tile_size,
+        tiles_x=tiles_x(cfg),
+        tiles_y=tiles_y(cfg),
+        max_pairs=max_pairs,
+        chunk=cfg.raster.chunk,
+        front_to_back=True,
+    )
+    attrs = build_gut_pair_attrs(prepared, proj, bins, cfg)
+    st = dataclasses.replace(
+        raster_statics(cfg, interpret),
+        model="gut3d",
+        kernel_degree=cfg.rt.kernel_degree,
+        kernel_min_response=0.0113,
+    )
+
+    imgs = []
+    transs = []
+    for sample in range(max(cfg.temporal_samples, 1)):
+        pix_ctx = build_tile_rays(cam, cfg, sample_id=sample)
+        out = rasterize_tiles(attrs, bins.chunk_tile, bins.chunk_rank,
+                              bins.chunk_last, bins.seg_counts, pix_ctx, st)
+        img, trans = assemble_image(out, bins.seg_counts, st.tiles_x,
+                                    st.tiles_y, cfg.width, cfg.height,
+                                    cfg.background)
+        imgs.append(img)
+        transs.append(trans)
+    image = sum(imgs) / len(imgs)
+    trans = sum(transs) / len(transs)
+    return RenderOutput(
+        image=image,
         transmittance=trans,
         num_pairs=bins.num_pairs,
         overflow=bins.overflow,
@@ -127,4 +208,6 @@ def render(prepared: PreparedSplats, cam: Camera, cfg: RenderConfig,
     """Pipeline dispatch (shaderio.h:61-66 pipeline ids)."""
     if cfg.pipeline in (Pipeline.VERT, Pipeline.MESH):
         return render_3dgs(prepared, cam, cfg, max_pairs, **kw)
+    if cfg.pipeline == Pipeline.MESH_3DGUT:
+        return render_3dgut(prepared, cam, cfg, max_pairs, **kw)
     raise NotImplementedError(f"pipeline {cfg.pipeline} not yet implemented")
