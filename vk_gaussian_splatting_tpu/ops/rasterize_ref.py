@@ -124,3 +124,64 @@ def rasterize_naive_gut(
 
     rgb, t_final = blend_ftb(alpha, color, background)
     return rgb.reshape(h, w, 3), t_final.reshape(h, w)
+
+
+def raytrace_naive_exact(
+    prepared,
+    proj: ProjectedSplats,
+    dirs: jax.Array,
+    origins: jax.Array,
+    rc: RasterConfig = RasterConfig(),
+    kernel_degree: int = 2,
+    kernel_min_response: float = 0.0113,
+    splat_scale: float = 1.0,
+    background=(0.0, 0.0, 0.0),
+):
+    """Gold-standard ray tracer: *exact per-ray* front-to-back ordering by the
+    canonical hit parameter t = -(o_c . d_c) (threedgrt_raytrace.rint:159-172),
+    i.e. what the reference's k-buffer marching converges to with unlimited
+    passes. O(P * N log N) — tiny scenes only; used to quantify how close the
+    production sort orders (radial / view-z) get."""
+    from vk_gaussian_splatting_tpu.ops.response import kernel_response
+    from vk_gaussian_splatting_tpu.scene.splat_set import quat_to_rotmat
+
+    h, w = dirs.shape[:2]
+    pos = prepared.means
+    scl = jnp.exp(prepared.scales_log) * splat_scale
+    rot = quat_to_rotmat(prepared.quats)
+    op = proj.alpha
+    color = proj.color
+    valid = proj.valid
+
+    d = dirs.reshape(-1, 1, 3)
+    o = origins.reshape(-1, 1, 3)
+    rel = o - pos[None]
+    oc = jnp.einsum("pni,nij->pnj", rel, rot) / jnp.maximum(scl[None], 1e-12)
+    dcu = jnp.einsum("pni,nij->pnj", jnp.broadcast_to(d, rel.shape), rot) \
+        / jnp.maximum(scl[None], 1e-12)
+    dc = dcu / jnp.linalg.norm(dcu, axis=-1, keepdims=True).clip(1e-15)
+    cr = jnp.cross(dc, oc)
+    dist_sq = jnp.sum(cr * cr, axis=-1)
+    # world-units hit parameter (rint:159-172): canonical t divided by the
+    # canonical direction scale so values compare across splats
+    t_hit = -jnp.sum(oc * dcu, axis=-1) / jnp.maximum(
+        jnp.sum(dcu * dcu, axis=-1), 1e-20)
+
+    resp = kernel_response(dist_sq, kernel_degree)
+    a_raw = op[None] * resp
+    mask = (a_raw > rc.alpha_min) & (resp > kernel_min_response) & valid[None]
+    alpha = jnp.where(mask, jnp.minimum(a_raw, rc.alpha_clamp), 0.0)
+
+    order = jnp.argsort(jnp.where(mask, t_hit, jnp.inf), axis=1)   # per ray
+    alpha_s = jnp.take_along_axis(alpha, order, axis=1)
+    col_s = color[order]                                # (P,N,3)
+
+    q = 1.0 - alpha_s
+    t_excl = jnp.concatenate(
+        [jnp.ones_like(q[:, :1]), jnp.cumprod(q, axis=1)[:, :-1]], axis=1)
+    wgt = alpha_s * t_excl
+    rgb = jnp.einsum("pn,pnc->pc", wgt, col_s)
+    t_final = jnp.prod(q, axis=1)
+    bg = jnp.asarray(background, jnp.float32)
+    img = rgb + t_final[:, None] * bg
+    return img.reshape(h, w, 3), t_final.reshape(h, w)

@@ -203,6 +203,74 @@ def render_3dgut(
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "max_pairs", "interpret"))
+def render_3dgrt(
+    prepared: PreparedSplats,
+    cam: Camera,
+    cfg: RenderConfig,
+    max_pairs: int,
+    interpret: bool | None = None,
+) -> RenderOutput:
+    """3DGRT ray tracing, primary rays (PIPELINE_RTX).
+
+    The reference marches BVH hits through a K=18 sorted k-buffer per pass
+    (threedgrt_raytrace.rgen.slang:615-818) purely to recover *per-ray
+    front-to-back order* on hardware that cannot sort globally. On TPU we get
+    that order directly: for rays sharing one origin, sorting candidates by
+    euclidean distance to the origin orders them exactly as their per-ray hit
+    parameters t (t = |p-o| cos(theta), theta constant along a ray), so the
+    tile blender composes the same integral particleIntegrate accumulates
+    (threedgrt.h.slang:226-235) — no BVH, no k-buffer, one sort. Also correct
+    for fisheye (where raster view-z ordering is only approximate).
+
+    Secondary bounces / shadows build on the same blender with per-bundle ray
+    contexts (future work; hybrid pipelines dispatch here for now).
+    """
+    from vk_gaussian_splatting_tpu.render.rays import build_tile_rays
+
+    if cfg.raster.tile_size != 16:
+        raise ValueError("pallas raster path requires tile_size == 16")
+    proj = ut_project_splats(prepared, cam, cfg)
+    radial = jnp.linalg.norm(prepared.means - cam.position, axis=-1)
+    proj = dataclasses.replace(proj, depth=radial)
+    bins = bin_splats(
+        proj,
+        tile_size=cfg.raster.tile_size,
+        tiles_x=tiles_x(cfg),
+        tiles_y=tiles_y(cfg),
+        max_pairs=max_pairs,
+        chunk=cfg.raster.chunk,
+        front_to_back=True,
+    )
+    attrs = build_gut_pair_attrs(prepared, proj, bins, cfg)
+    st = dataclasses.replace(
+        raster_statics(cfg, interpret),
+        model="gut3d",
+        kernel_degree=cfg.rt.kernel_degree,
+        kernel_min_response=0.0113,
+        alpha_clamp=cfg.rt.alpha_clamp,
+        min_transmittance=cfg.rt.min_transmittance,
+    )
+
+    imgs = []
+    transs = []
+    for sample in range(max(cfg.temporal_samples, 1)):
+        pix_ctx = build_tile_rays(cam, cfg, sample_id=sample)
+        out = rasterize_tiles(attrs, bins.chunk_tile, bins.chunk_rank,
+                              bins.chunk_last, bins.seg_counts, pix_ctx, st)
+        img, trans = assemble_image(out, bins.seg_counts, st.tiles_x,
+                                    st.tiles_y, cfg.width, cfg.height,
+                                    cfg.background)
+        imgs.append(img)
+        transs.append(trans)
+    return RenderOutput(
+        image=sum(imgs) / len(imgs),
+        transmittance=sum(transs) / len(transs),
+        num_pairs=bins.num_pairs,
+        overflow=bins.overflow,
+    )
+
+
 def render(prepared: PreparedSplats, cam: Camera, cfg: RenderConfig,
            max_pairs: int, **kw) -> RenderOutput:
     """Pipeline dispatch (shaderio.h:61-66 pipeline ids)."""
@@ -210,4 +278,6 @@ def render(prepared: PreparedSplats, cam: Camera, cfg: RenderConfig,
         return render_3dgs(prepared, cam, cfg, max_pairs, **kw)
     if cfg.pipeline == Pipeline.MESH_3DGUT:
         return render_3dgut(prepared, cam, cfg, max_pairs, **kw)
+    if cfg.pipeline == Pipeline.RTX:
+        return render_3dgrt(prepared, cam, cfg, max_pairs, **kw)
     raise NotImplementedError(f"pipeline {cfg.pipeline} not yet implemented")
