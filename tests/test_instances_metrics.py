@@ -1,0 +1,139 @@
+"""Multi-instance scene flattening + image metrics."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vk_gaussian_splatting_tpu.config import RenderConfig
+from vk_gaussian_splatting_tpu.ops.metrics import flip, flip_mean, mse, psnr
+from vk_gaussian_splatting_tpu.render.pipelines import render_3dgs
+from vk_gaussian_splatting_tpu.scene.cameras import look_at
+from vk_gaussian_splatting_tpu.scene.instances import (
+    SplatScene,
+    decompose_rigid_uniform,
+    quat_multiply,
+)
+from vk_gaussian_splatting_tpu.scene.splat_set import random_splats
+
+
+def rot_z(angle, scale=1.0, t=(0, 0, 0)):
+    c, s = np.cos(angle), np.sin(angle)
+    m = np.eye(4)
+    m[:3, :3] = scale * np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    m[:3, 3] = t
+    return m
+
+
+def test_decompose_rigid_uniform():
+    m = rot_z(0.7, scale=2.5, t=(1, 2, 3))
+    s, q, t = decompose_rigid_uniform(m)
+    assert abs(s - 2.5) < 1e-6
+    np.testing.assert_allclose(t, [1, 2, 3], atol=1e-6)
+    with pytest.raises(ValueError):
+        bad = np.eye(4)
+        bad[0, 0] = 2.0
+        decompose_rigid_uniform(bad)
+
+
+def test_quat_multiply_identity():
+    q = jnp.asarray([[0.2, 0.4, -0.1, 0.88]])
+    e = jnp.asarray([[1.0, 0, 0, 0]])
+    np.testing.assert_allclose(np.asarray(quat_multiply(e, q)), np.asarray(q),
+                               atol=1e-6)
+
+
+def test_identity_instance_matches_single():
+    splats = random_splats(jax.random.key(0), 200, sh_degree=1)
+    scene = SplatScene()
+    a = scene.add_asset(splats)
+    scene.add_instance(a)
+    prepared, table = scene.flatten()
+    single = splats.prepare()
+    np.testing.assert_allclose(np.asarray(prepared.means),
+                               np.asarray(single.means), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(prepared.cov3d),
+                               np.asarray(single.cov3d), atol=1e-5)
+    assert int(table.instance_base[-1]) == 200
+
+
+def test_transformed_instance_renders_like_transformed_asset():
+    """Baking the instance transform must equal transforming the raw splats."""
+    cfg = RenderConfig(width=96, height=64, sh_degree=0)
+    splats = random_splats(jax.random.key(1), 200, sh_degree=0,
+                           scale_range=(-2.5, -1.0))
+    m = rot_z(0.6, scale=1.5, t=(0.3, -0.2, 0.5))
+
+    scene = SplatScene()
+    a = scene.add_asset(splats)
+    scene.add_instance(a, transform=m)
+    prepared, _ = scene.flatten()
+
+    cam = look_at([0, 0, -10], [0, 0, 0], [0, 1, 0], cfg.width, cfg.height)
+    img_inst = render_3dgs(prepared, cam, cfg, max_pairs=65536).image
+
+    # manual transform of the raw parameters
+    r = m[:3, :3] / 1.5
+    means2 = (np.asarray(splats.means) @ r.T) * 1.5 + m[:3, 3]
+    # rotate covariance via rotating the quaternion with the same rotation
+    from vk_gaussian_splatting_tpu.scene.instances import rotmat_to_quat
+    qt = jnp.asarray(rotmat_to_quat(r), jnp.float32)
+    qn = splats.quats / jnp.linalg.norm(splats.quats, axis=-1, keepdims=True)
+    quats2 = quat_multiply(qt[None], qn)
+    manual = dataclasses.replace(
+        splats, means=jnp.asarray(means2, jnp.float32), quats=quats2,
+        scales=splats.scales + np.log(1.5))
+    img_manual = render_3dgs(manual.prepare(), cam, cfg, max_pairs=65536).image
+    np.testing.assert_allclose(np.asarray(img_inst), np.asarray(img_manual),
+                               atol=1e-4)
+    assert float(np.asarray(img_inst).sum()) > 0
+
+
+def test_two_instances_unified_sort():
+    """Two interleaved instances must composite in correct global depth order:
+    compare against a single asset containing both point sets."""
+    cfg = RenderConfig(width=64, height=64, sh_degree=0)
+    s1 = random_splats(jax.random.key(2), 100, sh_degree=0, scale_range=(-2.0, -1.0))
+    s2 = random_splats(jax.random.key(3), 100, sh_degree=0, scale_range=(-2.0, -1.0))
+
+    scene = SplatScene()
+    scene.add_instance(scene.add_asset(s1))
+    scene.add_instance(scene.add_asset(s2))
+    prepared, table = scene.flatten()
+    cam = look_at([0, 0, -9], [0, 0, 0], [0, 1, 0], cfg.width, cfg.height)
+    img_multi = render_3dgs(prepared, cam, cfg, max_pairs=65536).image
+
+    merged = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), s1, s2)
+    img_merged = render_3dgs(merged.prepare(), cam, cfg, max_pairs=65536).image
+    np.testing.assert_allclose(np.asarray(img_multi), np.asarray(img_merged),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(table.instance_id[:100]), 0)
+    np.testing.assert_array_equal(np.asarray(table.instance_id[100:]), 1)
+
+
+def test_metrics_basics():
+    key = jax.random.key(0)
+    a = jax.random.uniform(key, (32, 48, 3))
+    assert float(mse(a, a)) == 0.0
+    assert float(psnr(a, a)) >= 120.0 - 1e-3
+    b = jnp.clip(a + 0.1, 0, 1)
+    p = float(psnr(a, b))
+    assert 15 < p < 25
+    # FLIP: identical -> 0; gray vs inverted -> large
+    f0 = float(flip_mean(a, a))
+    assert f0 < 1e-4
+    f1 = float(flip_mean(a, 1.0 - a))
+    assert f1 > 0.2
+    # monotone in perturbation size
+    f_small = float(flip_mean(a, jnp.clip(a + 0.02, 0, 1)))
+    f_big = float(flip_mean(a, jnp.clip(a + 0.3, 0, 1)))
+    assert f_small < f_big
+    # error map shape + range
+    m = np.asarray(flip(a, b))
+    assert m.shape == (32, 48)
+    assert (m >= 0).all() and (m <= 1).all()
+    # approx mode runs
+    m2 = np.asarray(flip(a, b, approx=True))
+    assert np.isfinite(m2).all()
