@@ -1,0 +1,121 @@
+"""Surface info (normals, depth pick, splat id) + lights + deferred shading."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vk_gaussian_splatting_tpu.config import RenderConfig, StochasticMode
+from vk_gaussian_splatting_tpu.render.deferred import (
+    DeferredMaterial,
+    compute_splat_normals,
+)
+from vk_gaussian_splatting_tpu.render.pipelines import render_3dgs, render_3dgs_lit
+from vk_gaussian_splatting_tpu.scene.cameras import look_at
+from vk_gaussian_splatting_tpu.scene.lights import (
+    AttenuationMode,
+    LightType,
+    compute_light,
+    make_light,
+)
+from vk_gaussian_splatting_tpu.scene.splat_set import random_splats
+
+
+def make_scene(n=200, w=96, h=64, **kw):
+    cfg = RenderConfig(width=w, height=h, sh_degree=0, **kw)
+    splats = random_splats(jax.random.key(0), n, sh_degree=0,
+                           scale_range=(-2.5, -1.2))
+    cam = look_at([0, 0, -10], [0, 0, 0], [0, 1, 0], w, h, fov_y_rad=0.9)
+    return cfg, splats, cam
+
+
+def test_normals_unit_outward():
+    cfg, splats, cam = make_scene()
+    prepared = splats.prepare()
+    n = np.asarray(compute_splat_normals(prepared, cam.position))
+    np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-5)
+    to_cam = np.asarray(cam.position) - np.asarray(prepared.means)
+    assert (np.sum(n * to_cam, axis=1) >= -1e-6).all()
+
+
+def test_depth_pick_and_splat_id():
+    cfg, splats, cam = make_scene(n=300)
+    prepared = splats.prepare()
+    out = render_3dgs(prepared, cam, cfg, max_pairs=65536)
+    depth = np.asarray(out.depth)
+    sid = np.asarray(out.splat_id)
+    trans = np.asarray(out.transmittance)
+    picked = trans < cfg.raster.depth_iso_threshold
+    # picked pixels must have a positive depth and a valid id
+    frac = (depth[picked] > 0).mean() if picked.any() else 1.0
+    assert picked.any() and frac > 0.99
+    assert (sid[picked] >= 0).all()
+    assert (sid[~picked] == -1).all()
+    assert (depth[~picked] == 0).all()
+    # depths in plausible camera range
+    d = depth[picked]
+    assert d.min() > 1.0 and d.max() < 30.0
+    # ids reference splats that are actually near those pixels
+    means = np.asarray(prepared.means)
+    vm = np.asarray(cam.viewmat)
+    ys, xs = np.nonzero(picked)
+    for y, x in list(zip(ys, xs))[:20]:
+        p = means[sid[y, x]]
+        pc = vm[:3, :3] @ p + vm[:3, 3]
+        u = float(cam.fx) * pc[0] / pc[2] + float(cam.cx)
+        v = float(cam.fy) * pc[1] / pc[2] + float(cam.cy)
+        # the picked splat's center projects near the pixel (within its extent)
+        assert abs(u - x) < 40 and abs(v - y) < 40
+
+
+def test_stochastic_splat_converges_to_blend():
+    cfg, splats, cam = make_scene(n=200)
+    cfg_st = cfg.replace(stochastic=StochasticMode.SPLAT, temporal_samples=64)
+    prepared = splats.prepare()
+    ref = render_3dgs(prepared, cam, cfg, max_pairs=65536)
+    sto = render_3dgs(prepared, cam, cfg_st, max_pairs=65536)
+    img_r = np.asarray(ref.image)
+    img_s = np.asarray(sto.image)
+    assert np.isfinite(img_s).all()
+    # unbiased estimator: mean over samples approaches the analytic blend
+    err = np.abs(img_s - img_r).mean()
+    assert err < 0.08, err
+    # and a single sample must be binary-ish (opaque splats): many exact 0/1
+    one = render_3dgs(prepared, cam,
+                      cfg.replace(stochastic=StochasticMode.SPLAT,
+                                  temporal_samples=1), max_pairs=65536)
+    t = np.asarray(one.transmittance)
+    assert ((t < 0.01) | (t > 0.99)).mean() > 0.95
+
+
+def test_lights_model():
+    # point light falloff + directional independence of position
+    lp = make_light(LightType.POINT, position=(0, 0, 0),
+                    attenuation=AttenuationMode.PHYSICAL)
+    pos = jnp.asarray([[1.0, 0, 0], [2.0, 0, 0]])
+    nrm = jnp.asarray([[-1.0, 0, 0], [-1.0, 0, 0]])
+    li = np.asarray(compute_light(lp, pos, nrm))
+    assert li[0, 0] > li[1, 0] > 0
+    ld = make_light(LightType.DIRECTIONAL, direction=(0, 0, 1))
+    li2 = np.asarray(compute_light(ld, pos, jnp.asarray([[0, 0, -1.0]] * 2)))
+    np.testing.assert_allclose(li2[0], li2[1], atol=1e-6)
+
+
+def test_deferred_shading_end_to_end():
+    cfg, splats, cam = make_scene(n=300)
+    prepared = splats.prepare()
+    light = make_light(LightType.POINT, position=(0, -5.0, -8.0), intensity=2.0)
+    out, shaded, normals = render_3dgs_lit(
+        prepared, cam, cfg, 65536, lights=(light,),
+        material=DeferredMaterial(diffuse=(1, 1, 1), ambient=(0.2, 0.2, 0.2)))
+    s = np.asarray(shaded)
+    assert np.isfinite(s).all()
+    covered = np.asarray(out.transmittance) < 0.3
+    assert covered.any()
+    # shading changed covered pixels vs the raw render
+    diff = np.abs(s - np.asarray(out.image)).max(axis=-1)
+    assert diff[covered].mean() > 1e-3
+    # normals are unit where covered
+    nl = np.linalg.norm(np.asarray(normals), axis=-1)
+    assert np.isfinite(nl).all()

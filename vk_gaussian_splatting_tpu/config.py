@@ -85,6 +85,7 @@ class RasterConfig:
     point_cloud_mode: bool = False  # fixed 0.2 eigenvalues (threedgs.h.slang:108-110)
     blend_order: BlendOrder = BlendOrder.FRONT_TO_BACK
     frustum_dilation: float = 0.2  # NDC cull margin (FrameInfo.frustumDilation default)
+    depth_iso_threshold: float = 0.7  # depth picking T threshold (parameters.h:200)
     size_culling: bool = False
     size_culling_min_px: float = 1.0
 

@@ -59,7 +59,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vk_gaussian_splatting_tpu.ops.response import ALPHA_FNS, USES_PIX_CTX
+from vk_gaussian_splatting_tpu.ops.response import (
+    ALPHA_FNS,
+    DEPTH_ROW,
+    ID_ROW,
+    USES_PIX_CTX,
+)
 
 # legacy aliases for the gs2d attr layout (see ops/response.py for all rows)
 ATTR_X = 0
@@ -96,6 +101,9 @@ class RasterStatics:
     model: str = "gs2d"            # response model (ops/response.py)
     kernel_degree: int = 2         # gut3d generalized-gaussian degree
     kernel_min_response: float = 0.0113
+    depth_iso: float = 0.7         # depth-pick transmittance threshold
+                                   # (prmRaster.depthIsoThreshold)
+    stochastic: bool = False       # STOCHASTIC_SPLAT (frag.slang:265-290)
     interpret: bool = False
 
 
@@ -138,13 +146,41 @@ def _tile_pixel_coords(t: jax.Array, tiles_x: int):
     return px, py
 
 
-def _alpha_closure(st: RasterStatics, pix, px, py, n_remaining):
+def _hash_uniform(key, shape) -> jax.Array:
+    """Deterministic uniforms in [0,1) from (key, sublane, lane) via an
+    xxhash32-flavoured integer mix (pure VPU ALU; no pltpu PRNG so the same
+    stream exists under CPU interpret)."""
+    pixv = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    lanev = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    h = (pixv * jnp.uint32(0x9E3779B1)
+         ^ lanev * jnp.uint32(0x85EBCA77)
+         ^ (jnp.uint32(key) * jnp.uint32(0xC2B2AE3D)))
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x2C1B3C6D)
+    h = h ^ (h >> 12)
+    h = h * jnp.uint32(0x297A2D39)
+    h = h ^ (h >> 15)
+    # Mosaic lacks uint32->f32 casts; the top-24-bit value fits int32 exactly
+    h24 = jax.lax.bitcast_convert_type((h >> 8), jnp.int32)
+    return h24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def _alpha_closure(st: RasterStatics, pix, px, py, n_remaining, rng_key=None):
     alpha_fn = ALPHA_FNS[st.model]
 
     def f(block):
         live = (jax.lax.broadcasted_iota(jnp.int32, (1, block.shape[1]), 1)
                 < n_remaining)
-        return alpha_fn(block, pix, px, py, live, st)
+        alpha = alpha_fn(block, pix, px, py, live, st)
+        if st.stochastic:
+            # STOCHASTIC_SPLAT: binary accept with p = alpha; accepted splats
+            # become opaque (threedgs_raster.frag.slang:265-290). Counter-based
+            # xxhash-style stream keyed on (sample seed, chunk, pixel, lane) —
+            # the shader's xxhash32(fragCoord, splatId, sampleId) analog,
+            # identical under interpret and Mosaic.
+            u = _hash_uniform(rng_key, alpha.shape)
+            alpha = jnp.where((u < alpha) & (alpha > 0.0), 1.0, 0.0)
+        return alpha
 
     return f
 
@@ -153,17 +189,22 @@ def _make_fwd_kernel(st: RasterStatics):
     c = st.chunk
     uses_pix = USES_PIX_CTX[st.model]
 
-    def kernel(tile_ref, rank_ref, last_ref, counts_ref, attrs_ref, *rest):
+    drow = DEPTH_ROW[st.model]
+    idrow = ID_ROW[st.model]
+
+    def kernel(seed_ref, tile_ref, rank_ref, last_ref, counts_ref, attrs_ref,
+               *rest):
         if uses_pix:
-            (pixctx_ref, out_ref, acc, t_col, outbuf,
+            (pixctx_ref, out_ref, acc, t_col, pick_d, pick_id, outbuf,
              pixraw, pixscr, sem, psem) = rest
         else:
-            out_ref, acc, t_col, outbuf, sem = rest
+            (out_ref, acc, t_col, pick_d, pick_id, outbuf, sem) = rest
             pixscr = None
         j = pl.program_id(0)
         t = tile_ref[j]
         k = rank_ref[j]
         px, py = _tile_pixel_coords(t, st.tiles_x)
+        rng_key = seed_ref[0] + j if st.stochastic else None
 
         @pl.when(t >= 0)
         def _process():
@@ -171,6 +212,8 @@ def _make_fwd_kernel(st: RasterStatics):
             def _reset():
                 acc[:, :] = jnp.zeros((PIX, 3), jnp.float32)
                 t_col[:, :] = jnp.ones((PIX, 1), jnp.float32)
+                pick_d[:, :] = jnp.full((PIX, 1), 1e30, jnp.float32)
+                pick_id[:, :] = jnp.full((PIX, 1), -1.0, jnp.float32)
                 if uses_pix:
                     copy = pltpu.make_async_copy(pixctx_ref.at[t], pixraw, psem)
                     copy.start()
@@ -183,7 +226,7 @@ def _make_fwd_kernel(st: RasterStatics):
             def _blend():
                 block = attrs_ref[:, :]
                 pix = pixscr[:, :] if uses_pix else None
-                alpha = _alpha_closure(st, pix, px, py, n_remaining)(block)
+                alpha = _alpha_closure(st, pix, px, py, n_remaining, rng_key)(block)
                 q = 1.0 - alpha
                 excl = _cumprod_exclusive(q)
                 tc = t_col[:, :]
@@ -193,6 +236,30 @@ def _make_fwd_kernel(st: RasterStatics):
                     w, cols, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )                                              # (256, 3)
+
+                # depth picking: first splat (FTB order) after which the
+                # running transmittance drops below the iso threshold
+                # (threedgs_raster.frag.slang:325-346); splat id rides along
+                # for the deferred material lookup.
+                t_after = tc * excl * q                        # (256, C)
+                cond = (t_after < st.depth_iso) & (alpha > 0.0)
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, c), 1) * jnp.ones((PIX, 1), jnp.int32)
+                first = jnp.min(jnp.where(cond, lane, 1 << 20), axis=1,
+                                keepdims=True)
+                sel = (lane == first) & cond
+                d_sel = jnp.sum(
+                    jnp.where(sel, block[drow:drow + 1, :], 0.0), axis=1,
+                    keepdims=True)
+                id_sel = jnp.sum(
+                    jnp.where(sel, block[idrow:idrow + 1, :], 0.0), axis=1,
+                    keepdims=True)
+                hit = first < (1 << 20)
+                unpicked = pick_id[:, :] < -0.5
+                upd = hit & unpicked
+                pick_d[:, :] = jnp.where(upd, d_sel, pick_d[:, :])
+                pick_id[:, :] = jnp.where(upd, id_sel, pick_id[:, :])
+
                 t_col[:, :] = tc * excl[:, c - 1:c] * q[:, c - 1:c]
 
             @pl.when(last_ref[j] > 0)
@@ -200,9 +267,11 @@ def _make_fwd_kernel(st: RasterStatics):
                 # per-tile output rides as (OUT_COLS, 256): HBM minor dims
                 # < 128 are padded and their DMA slices misalign, so channels
                 # go in sublanes, pixels in lanes.
+                pd = jnp.where(pick_d[:, :] > 1e29, 0.0, pick_d[:, :])
                 outbuf[:, :] = jnp.concatenate(
                     [jnp.transpose(acc[:, :]), jnp.transpose(t_col[:, :]),
-                     jnp.zeros((OUT_COLS - 4, PIX), jnp.float32)], axis=0
+                     jnp.transpose(pd), jnp.transpose(pick_id[:, :]),
+                     jnp.zeros((OUT_COLS - 6, PIX), jnp.float32)], axis=0
                 )
                 copy = pltpu.make_async_copy(outbuf, out_ref.at[t], sem)
                 copy.start()
@@ -215,7 +284,8 @@ def _make_bwd_kernel(st: RasterStatics):
     c = st.chunk
     uses_pix = USES_PIX_CTX[st.model]
 
-    def kernel(tile_ref, rank_ref, counts_ref, attrs_ref, ctx_hbm_ref, *rest):
+    def kernel(seed_ref, tile_ref, rank_ref, counts_ref, attrs_ref,
+               ctx_hbm_ref, *rest):
         if uses_pix:
             (pixctx_ref, dattrs_ref, t_col, s_run, ctx,
              pixraw, pixscr, sem, psem) = rest
@@ -226,6 +296,9 @@ def _make_bwd_kernel(st: RasterStatics):
         t = tile_ref[j]
         k = rank_ref[j]
         px, py = _tile_pixel_coords(t, st.tiles_x)
+        # the same counter-based stream as the forward so recomputed alphas
+        # match the rendered ones exactly
+        rng_key = seed_ref[0] + j if st.stochastic else None
 
         @pl.when((t >= 0) & (k == 0))
         def _reset():
@@ -246,7 +319,7 @@ def _make_bwd_kernel(st: RasterStatics):
         # Always write the full gradient block (skipped chunks => zero grads).
         block = attrs_ref[:, :]
         pix = pixscr[:, :] if uses_pix else None
-        alpha_f = _alpha_closure(st, pix, px, py, n_remaining)
+        alpha_f = _alpha_closure(st, pix, px, py, n_remaining, rng_key)
         alpha, alpha_vjp = jax.vjp(alpha_f, block)
         q = 1.0 - alpha
         excl = _cumprod_exclusive(q)
@@ -302,6 +375,7 @@ def _fwd_call(st: RasterStatics, num_chunks: int):
     num_tiles = st.tiles_x * st.tiles_y
     uses_pix = USES_PIX_CTX[st.model]
     in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_tile (S,)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_rank (S,)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_last (S,)
@@ -312,6 +386,8 @@ def _fwd_call(st: RasterStatics, num_chunks: int):
     scratch = [
         pltpu.VMEM((PIX, 3), jnp.float32),        # acc
         pltpu.VMEM((PIX, 1), jnp.float32),        # t_col
+        pltpu.VMEM((PIX, 1), jnp.float32),        # pick_d
+        pltpu.VMEM((PIX, 1), jnp.float32),        # pick_id
         pltpu.VMEM((OUT_COLS, PIX), jnp.float32),  # outbuf
     ]
     if uses_pix:
@@ -337,6 +413,7 @@ def _fwd_call(st: RasterStatics, num_chunks: int):
 def _bwd_call(st: RasterStatics, num_chunks: int):
     uses_pix = USES_PIX_CTX[st.model]
     in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_tile (S,)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_rank (S,)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # seg_counts (T,)
@@ -369,10 +446,10 @@ def _bwd_call(st: RasterStatics, num_chunks: int):
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6,))
+@partial(jax.custom_vjp, nondiff_argnums=(7,))
 def rasterize_tiles(attrs: jax.Array, chunk_tile: jax.Array,
                     chunk_rank: jax.Array, chunk_last: jax.Array,
-                    seg_counts: jax.Array, pix_ctx,
+                    seg_counts: jax.Array, pix_ctx, seed,
                     st: RasterStatics):
     """Blend sorted pair attrs into per-tile (8, 256) outputs.
 
@@ -387,20 +464,23 @@ def rasterize_tiles(attrs: jax.Array, chunk_tile: jax.Array,
     does).
     """
     num_chunks = attrs.shape[1] // st.chunk
-    args = [chunk_tile, chunk_rank, chunk_last, seg_counts, attrs]
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    args = [seed, chunk_tile, chunk_rank, chunk_last, seg_counts, attrs]
     if USES_PIX_CTX[st.model]:
         args.append(pix_ctx)
     return _fwd_call(st, num_chunks)(*args)
 
 
-def _rt_fwd(attrs, chunk_tile, chunk_rank, chunk_last, seg_counts, pix_ctx, st):
+def _rt_fwd(attrs, chunk_tile, chunk_rank, chunk_last, seg_counts, pix_ctx,
+            seed, st):
     out = rasterize_tiles(attrs, chunk_tile, chunk_rank, chunk_last,
-                          seg_counts, pix_ctx, st)
-    return out, (attrs, chunk_tile, chunk_rank, seg_counts, pix_ctx, out)
+                          seg_counts, pix_ctx, seed, st)
+    return out, (attrs, chunk_tile, chunk_rank, seg_counts, pix_ctx, seed, out)
 
 
 def _rt_bwd(st, res, g):
-    attrs, chunk_tile, chunk_rank, seg_counts, pix_ctx, out = res
+    attrs, chunk_tile, chunk_rank, seg_counts, pix_ctx, seed, out = res
     # Backward context per tile, from the saved forward output:
     #   S_total = rgb_out . g_rgb   (sum_j w_j (c_j.g) — no extra sweep)
     #   gt_tn   = g_T * T_final
@@ -415,14 +495,17 @@ def _rt_bwd(st, res, g):
     ctx = jnp.where(live_tile, ctx, 0.0)
 
     num_chunks = attrs.shape[1] // st.chunk
-    args = [chunk_tile, chunk_rank, seg_counts, attrs, ctx]
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    args = [seed, chunk_tile, chunk_rank, seg_counts, attrs, ctx]
     if USES_PIX_CTX[st.model]:
         args.append(pix_ctx)
     d_attrs = _bwd_call(st, num_chunks)(*args)
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
     d_pix = None if pix_ctx is None else jnp.zeros_like(pix_ctx)
+    d_seed = None if res[5] is None else f0(seed)
     return (d_attrs, f0(chunk_tile), f0(chunk_rank),
-            f0(chunk_tile), f0(seg_counts), d_pix)
+            f0(chunk_tile), f0(seg_counts), d_pix, d_seed)
 
 
 rasterize_tiles.defvjp(_rt_fwd, _rt_bwd)
@@ -430,15 +513,18 @@ rasterize_tiles.defvjp(_rt_fwd, _rt_bwd)
 
 def assemble_image(out: jax.Array, seg_counts: jax.Array,
                    tiles_x: int, tiles_y: int,
-                   width: int, height: int, background=(0.0, 0.0, 0.0)):
-    """(T, 8, 256) tile blocks -> (H, W, 3) image + (H, W) transmittance.
+                   width: int, height: int, background=(0.0, 0.0, 0.0),
+                   with_aux: bool = False):
+    """(T, 8, 256) tile blocks -> (H, W, 3) image + (H, W) transmittance
+    (+ picked depth and splat id when with_aux).
 
     Tiles with zero pairs were never written by the kernel; mask them to the
-    empty result (rgb 0, T 1) before reshaping.
+    empty result (rgb 0, T 1, no pick) before reshaping.
     """
     empty = jnp.concatenate(
         [jnp.zeros((3, PIX), jnp.float32), jnp.ones((1, PIX), jnp.float32),
-         jnp.zeros((OUT_COLS - 4, PIX), jnp.float32)], axis=0)
+         jnp.zeros((1, PIX), jnp.float32), jnp.full((1, PIX), -1.0),
+         jnp.zeros((OUT_COLS - 6, PIX), jnp.float32)], axis=0)
     out = jnp.where((seg_counts > 0)[:, None, None], out, empty[None])
     blocks = out.reshape(tiles_y, tiles_x, OUT_COLS, TILE, TILE)
     full = blocks.transpose(0, 3, 1, 4, 2).reshape(
@@ -447,4 +533,9 @@ def assemble_image(out: jax.Array, seg_counts: jax.Array,
     rgb = full[:height, :width, 0:3]
     trans = full[:height, :width, 3]
     bg = jnp.asarray(background, jnp.float32)
-    return rgb + trans[..., None] * bg, trans
+    img = rgb + trans[..., None] * bg
+    if not with_aux:
+        return img, trans
+    depth = full[:height, :width, 4]
+    splat_id = full[:height, :width, 5].astype(jnp.int32)
+    return img, trans, depth, splat_id

@@ -32,13 +32,14 @@ import jax.numpy as jnp
 ATTR_R, ATTR_G, ATTR_B = 6, 7, 8
 
 # gs2d rows
-GS_X, GS_Y, GS_CA, GS_CB, GS_CC, GS_OPACITY, GS_DEPTH = 0, 1, 2, 3, 4, 5, 9
+GS_X, GS_Y, GS_CA, GS_CB, GS_CC, GS_OPACITY, GS_DEPTH, GS_ID = \
+    0, 1, 2, 3, 4, 5, 9, 10
 
 # gut3d rows
 GUT_PX, GUT_PY, GUT_PZ = 0, 1, 2
 GUT_SX, GUT_SY, GUT_SZ = 3, 4, 5
 GUT_QW, GUT_QX, GUT_QY, GUT_QZ = 9, 10, 11, 12
-GUT_OPACITY, GUT_DEPTH = 13, 14
+GUT_OPACITY, GUT_DEPTH, GUT_ID = 13, 14, 15
 
 # pixel-context (rays) rows for gut3d, in the (8, 256) per-tile block
 RAY_DX, RAY_DY, RAY_DZ, RAY_OX, RAY_OY, RAY_OZ = 0, 1, 2, 3, 4, 5
@@ -136,3 +137,5 @@ def gut3d_alpha(block, pix, px, py, live, st):
 
 ALPHA_FNS = {"gs2d": gs2d_alpha, "gut3d": gut3d_alpha}
 USES_PIX_CTX = {"gs2d": False, "gut3d": True}
+DEPTH_ROW = {"gs2d": GS_DEPTH, "gut3d": GUT_DEPTH}
+ID_ROW = {"gs2d": GS_ID, "gut3d": GUT_ID}

@@ -71,7 +71,7 @@ def _render_band(proj: ProjectedSplats, cfg: RenderConfig, max_pairs: int,
     attrs = build_pair_attrs(shifted, bins)
     st = dataclasses.replace(raster_statics(cfg, interpret), tiles_y=ty_local)
     out = rasterize_tiles(attrs, bins.chunk_tile, bins.chunk_rank,
-                          bins.chunk_last, bins.seg_counts, None, st)
+                          bins.chunk_last, bins.seg_counts, None, None, st)
     h_local = ty_local * cfg.raster.tile_size
     img, trans = assemble_image(out, bins.seg_counts, st.tiles_x, ty_local,
                                 cfg.width, h_local, cfg.background)

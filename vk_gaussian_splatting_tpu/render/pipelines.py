@@ -47,6 +47,8 @@ from vk_gaussian_splatting_tpu.scene.splat_set import PreparedSplats
 class RenderOutput:
     image: jax.Array          # (H, W, 3)
     transmittance: jax.Array  # (H, W)
+    depth: jax.Array          # (H, W) picked depth at T < depth_iso (0 = none)
+    splat_id: jax.Array       # (H, W) i32 picked splat id (-1 = none)
     num_pairs: jax.Array      # () i32 — pairs generated (pre-truncation)
     overflow: jax.Array       # () bool — pair budget exceeded
 
@@ -71,6 +73,7 @@ def build_pair_attrs(proj: ProjectedSplats, bins: TileBins) -> jax.Array:
         proj.color[ps, 1],
         proj.color[ps, 2],
         proj.depth[ps],
+        ps.astype(jnp.float32),  # global splat id for picking / materials
     ]
     attrs = jnp.stack(rows, axis=0)
     return jnp.concatenate(
@@ -81,6 +84,7 @@ def build_pair_attrs(proj: ProjectedSplats, bins: TileBins) -> jax.Array:
 def raster_statics(cfg: RenderConfig, interpret: bool | None = None) -> RasterStatics:
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    from vk_gaussian_splatting_tpu.config import StochasticMode
     return RasterStatics(
         tiles_x=tiles_x(cfg),
         tiles_y=tiles_y(cfg),
@@ -88,6 +92,8 @@ def raster_statics(cfg: RenderConfig, interpret: bool | None = None) -> RasterSt
         alpha_min=cfg.raster.alpha_min,
         alpha_clamp=cfg.raster.alpha_clamp,
         qmax=cfg.raster.alpha_cull_qmax,
+        depth_iso=cfg.raster.depth_iso_threshold,
+        stochastic=cfg.stochastic == StochasticMode.SPLAT,
         interpret=interpret,
     )
 
@@ -115,13 +121,23 @@ def render_3dgs(
     )
     attrs = build_pair_attrs(proj, bins)
     st = raster_statics(cfg, interpret)
-    out = rasterize_tiles(attrs, bins.chunk_tile, bins.chunk_rank,
-                          bins.chunk_last, bins.seg_counts, None, st)
-    img, trans = assemble_image(out, bins.seg_counts, st.tiles_x, st.tiles_y,
-                                cfg.width, cfg.height, cfg.background)
+    samples = max(cfg.temporal_samples, 1) if st.stochastic else 1
+    accum = None
+    for sample in range(samples):
+        seed = jnp.full((1,), sample * 7919 + 1, jnp.int32)
+        out = rasterize_tiles(attrs, bins.chunk_tile, bins.chunk_rank,
+                              bins.chunk_last, bins.seg_counts, None, seed, st)
+        res = assemble_image(out, bins.seg_counts, st.tiles_x, st.tiles_y,
+                             cfg.width, cfg.height, cfg.background,
+                             with_aux=True)
+        accum = res if accum is None else tuple(
+            a + b for a, b in zip(accum, res[:2])) + res[2:]
+    img, trans, depth, splat_id = accum
     return RenderOutput(
-        image=img,
-        transmittance=trans,
+        image=img / samples if samples > 1 else img,
+        transmittance=trans / samples if samples > 1 else trans,
+        depth=depth,
+        splat_id=splat_id,
         num_pairs=bins.num_pairs,
         overflow=bins.overflow,
     )
@@ -142,11 +158,37 @@ def build_gut_pair_attrs(prepared: PreparedSplats, proj: ProjectedSplats,
         quats[ps, 0], quats[ps, 1], quats[ps, 2], quats[ps, 3],
         proj.alpha[ps],
         proj.depth[ps],
+        ps.astype(jnp.float32),  # global splat id
     ]
     attrs = jnp.stack(rows, axis=0)
     return jnp.concatenate(
         [attrs, jnp.zeros((NUM_ATTRS - len(rows), p), jnp.float32)], axis=0
     )
+
+
+def _blend_samples(attrs, bins, cam, cfg, st):
+    """Run the blender over temporal samples (DoF / stochastic) and average
+    image+transmittance (post.comp.slang temporal accumulation); aux picks
+    come from the first sample."""
+    from vk_gaussian_splatting_tpu.render.rays import build_tile_rays
+
+    samples = max(cfg.temporal_samples, 1)
+    img_acc = trans_acc = None
+    depth = splat_id = None
+    for sample in range(samples):
+        pix_ctx = build_tile_rays(cam, cfg, sample_id=sample)
+        seed = jnp.full((1,), sample * 7919 + 1, jnp.int32)
+        out = rasterize_tiles(attrs, bins.chunk_tile, bins.chunk_rank,
+                              bins.chunk_last, bins.seg_counts, pix_ctx,
+                              seed, st)
+        img, trans, d, sid = assemble_image(
+            out, bins.seg_counts, st.tiles_x, st.tiles_y,
+            cfg.width, cfg.height, cfg.background, with_aux=True)
+        img_acc = img if img_acc is None else img_acc + img
+        trans_acc = trans if trans_acc is None else trans_acc + trans
+        if depth is None:
+            depth, splat_id = d, sid
+    return img_acc / samples, trans_acc / samples, depth, splat_id
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_pairs", "interpret"))
@@ -182,24 +224,10 @@ def render_3dgut(
         kernel_min_response=0.0113,
     )
 
-    imgs = []
-    transs = []
-    for sample in range(max(cfg.temporal_samples, 1)):
-        pix_ctx = build_tile_rays(cam, cfg, sample_id=sample)
-        out = rasterize_tiles(attrs, bins.chunk_tile, bins.chunk_rank,
-                              bins.chunk_last, bins.seg_counts, pix_ctx, st)
-        img, trans = assemble_image(out, bins.seg_counts, st.tiles_x,
-                                    st.tiles_y, cfg.width, cfg.height,
-                                    cfg.background)
-        imgs.append(img)
-        transs.append(trans)
-    image = sum(imgs) / len(imgs)
-    trans = sum(transs) / len(transs)
+    acc = _blend_samples(attrs, bins, cam, cfg, st)
     return RenderOutput(
-        image=image,
-        transmittance=trans,
-        num_pairs=bins.num_pairs,
-        overflow=bins.overflow,
+        image=acc[0], transmittance=acc[1], depth=acc[2], splat_id=acc[3],
+        num_pairs=bins.num_pairs, overflow=bins.overflow,
     )
 
 
@@ -252,22 +280,10 @@ def render_3dgrt(
         min_transmittance=cfg.rt.min_transmittance,
     )
 
-    imgs = []
-    transs = []
-    for sample in range(max(cfg.temporal_samples, 1)):
-        pix_ctx = build_tile_rays(cam, cfg, sample_id=sample)
-        out = rasterize_tiles(attrs, bins.chunk_tile, bins.chunk_rank,
-                              bins.chunk_last, bins.seg_counts, pix_ctx, st)
-        img, trans = assemble_image(out, bins.seg_counts, st.tiles_x,
-                                    st.tiles_y, cfg.width, cfg.height,
-                                    cfg.background)
-        imgs.append(img)
-        transs.append(trans)
+    acc = _blend_samples(attrs, bins, cam, cfg, st)
     return RenderOutput(
-        image=sum(imgs) / len(imgs),
-        transmittance=sum(transs) / len(transs),
-        num_pairs=bins.num_pairs,
-        overflow=bins.overflow,
+        image=acc[0], transmittance=acc[1], depth=acc[2], splat_id=acc[3],
+        num_pairs=bins.num_pairs, overflow=bins.overflow,
     )
 
 
@@ -281,3 +297,46 @@ def render(prepared: PreparedSplats, cam: Camera, cfg: RenderConfig,
     if cfg.pipeline == Pipeline.RTX:
         return render_3dgrt(prepared, cam, cfg, max_pairs, **kw)
     raise NotImplementedError(f"pipeline {cfg.pipeline} not yet implemented")
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_pairs", "material", "interpret"))
+def render_3dgs_lit(
+    prepared: PreparedSplats,
+    cam: Camera,
+    cfg: RenderConfig,
+    max_pairs: int,
+    lights: tuple = (),
+    material=None,
+    interpret: bool | None = None,
+):
+    """3DGS raster + surface reconstruction + deferred Phong shading
+    (the raster-with-lighting frame of gaussian_splatting.cpp:888-908 + S11).
+
+    Returns (RenderOutput, shaded_image, normal_image).
+    """
+    from vk_gaussian_splatting_tpu.render.deferred import (
+        DeferredMaterial,
+        deferred_shade,
+        render_normal_buffer,
+    )
+
+    if material is None:
+        material = DeferredMaterial()
+    proj = project_splats(prepared, cam, cfg)
+    bins = bin_splats(
+        proj, tile_size=cfg.raster.tile_size, tiles_x=tiles_x(cfg),
+        tiles_y=tiles_y(cfg), max_pairs=max_pairs, chunk=cfg.raster.chunk)
+    attrs = build_pair_attrs(proj, bins)
+    st = raster_statics(cfg, interpret)
+    out = rasterize_tiles(attrs, bins.chunk_tile, bins.chunk_rank,
+                          bins.chunk_last, bins.seg_counts, None, None, st)
+    img, trans, depth, splat_id = assemble_image(
+        out, bins.seg_counts, st.tiles_x, st.tiles_y,
+        cfg.width, cfg.height, cfg.background, with_aux=True)
+    normal_img = render_normal_buffer(prepared, proj, bins, cam, cfg, st)
+    shaded = deferred_shade(img, trans, normal_img, depth, cam, cfg,
+                            list(lights), material)
+    render_out = RenderOutput(image=img, transmittance=trans, depth=depth,
+                              splat_id=splat_id, num_pairs=bins.num_pairs,
+                              overflow=bins.overflow)
+    return render_out, shaded, normal_img
