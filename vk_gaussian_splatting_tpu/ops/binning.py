@@ -89,7 +89,12 @@ def bin_splats(
     max_pairs: int,
     chunk: int = 128,
     front_to_back: bool = True,
+    depth_override: jax.Array | None = None,
 ) -> TileBins:
+    """depth_override: optional (N,) sort keys replacing view depth — used by
+    the host (CPU) sorting path to impose a presorted order
+    (SplatSorterAsync, SortMethod.HOST) and by the ray pipelines for radial
+    ordering."""
     num_tiles = tiles_x * tiles_y
     x0, y0, x1, y1 = tile_rect(proj.xy, proj.radius, tile_size, tiles_x, tiles_y)
     w = jnp.maximum(x1 - x0, 0)
@@ -111,7 +116,8 @@ def bin_splats(
     pair_valid = p < total
     tile = jnp.where(pair_valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
 
-    d = proj.depth[splat]
+    dsrc = proj.depth if depth_override is None else depth_override
+    d = dsrc[splat]
     depth_key = jnp.where(pair_valid, d if front_to_back else -d, jnp.inf)
 
     tile_s, _, splat_s = jax.lax.sort((tile, depth_key, splat), num_keys=2)

@@ -105,11 +105,23 @@ def render_3dgs(
     cfg: RenderConfig,
     max_pairs: int,
     interpret: bool | None = None,
+    host_order: jax.Array | None = None,
 ) -> RenderOutput:
-    """3DGS raster pipeline (PIPELINE_VERT / PIPELINE_MESH)."""
+    """3DGS raster pipeline (PIPELINE_VERT / PIPELINE_MESH).
+
+    host_order: optional (N,) i32 presorted splat permutation from the CPU
+    sorting path (io.async_loader.AsyncHostSorter) — replaces the on-device
+    depth sort keys with the host rank (SortMethod.HOST parity; the order may
+    be one camera-move stale, exactly like the reference's lazy CPU sort)."""
     if cfg.raster.tile_size != 16:
         raise ValueError("pallas raster path requires tile_size == 16")
     proj = project_splats(prepared, cam, cfg)
+    depth_override = None
+    if host_order is not None:
+        n = host_order.shape[0]
+        rank = jnp.zeros((n,), jnp.float32).at[host_order].set(
+            jnp.arange(n, dtype=jnp.float32))
+        depth_override = rank
     bins = bin_splats(
         proj,
         tile_size=cfg.raster.tile_size,
@@ -118,6 +130,7 @@ def render_3dgs(
         max_pairs=max_pairs,
         chunk=cfg.raster.chunk,
         front_to_back=True,
+        depth_override=depth_override,
     )
     attrs = build_pair_attrs(proj, bins)
     st = raster_statics(cfg, interpret)
