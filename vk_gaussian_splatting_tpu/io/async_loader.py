@@ -132,8 +132,13 @@ class AsyncHostSorter:
         self._thread.start()
 
     def _inner_sort(self, view_dir):
+        from vk_gaussian_splatting_tpu import native
+
         dist = self.means @ view_dir.astype(np.float32)
-        order = np.argsort(dist, kind="stable").astype(np.int32)
+        if native.available():
+            order = native.radix_argsort_f32(dist)  # vrdx-parity radix path
+        else:
+            order = np.argsort(dist, kind="stable").astype(np.int32)
         restart = None
         with self._lock:
             self._result = order

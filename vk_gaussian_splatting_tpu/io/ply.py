@@ -61,10 +61,18 @@ def _parse_header(f) -> tuple[str, int, list[tuple[str, str]], int]:
 
 
 def load_ply(path: str, to_rub: bool = True) -> SplatSet:
+    from vk_gaussian_splatting_tpu import native
+
     with open(path, "rb") as f:
         fmt, n, props, offset = _parse_header(f)
         names = [p[0] for p in props]
         dtype = np.dtype(props)
+        all_f32 = all(d == "<f4" for _, d in props)
+        if fmt == "binary_little_endian" and all_f32 and native.available():
+            # native multithreaded extraction (the miniply analog)
+            payload = np.fromfile(f, dtype=np.uint8,
+                                  count=n * dtype.itemsize)
+            return _from_native(payload, n, names, dtype.itemsize, to_rub)
         if fmt == "binary_little_endian":
             data = np.fromfile(f, dtype=dtype, count=n)
         else:
@@ -104,6 +112,47 @@ def load_ply(path: str, to_rub: bool = True) -> SplatSet:
     if to_rub:
         splats = splats.convert_coordinates(CoordinateSystem.RDF, CoordinateSystem.RUB)
     return splats
+
+
+def _from_native(payload: np.ndarray, n: int, names: list[str], stride: int,
+                 to_rub: bool) -> SplatSet:
+    """One-pass extraction + SH repack through native/fast_splats.cpp."""
+    from vk_gaussian_splatting_tpu import native
+
+    byte_off = {nm: i * 4 for i, nm in enumerate(names)}
+    n_rest = sum(1 for p in names if p.startswith("f_rest_"))
+    m = n_rest // 3
+    if n_rest and not _contiguous_rest(names):
+        raise ValueError("non-contiguous f_rest properties")
+
+    def off_of(group):
+        return byte_off.get(group, -1)
+
+    offsets = ([byte_off["x"]] * 3
+               if False else [byte_off["x"], byte_off["y"], byte_off["z"]])
+    offsets += [off_of("f_dc_0"), -1, -1]
+    offsets += [off_of("opacity")]
+    offsets += [off_of("scale_0"), -1, -1]
+    offsets += [off_of("rot_0"), -1, -1, -1]
+    offsets += [off_of("f_rest_0")]
+    means, sh_dc, opac, scales, quats, sh_rest = native.ply_extract_3dgs(
+        payload, n, stride, offsets, m)
+
+    splats = SplatSet(means=means, scales=scales, quats=quats, opacities=opac,
+                      sh_dc=sh_dc, sh_rest=sh_rest)
+    if to_rub:
+        splats = splats.convert_coordinates(CoordinateSystem.RDF,
+                                            CoordinateSystem.RUB)
+    return splats
+
+
+def _contiguous_rest(names: list[str]) -> bool:
+    try:
+        i0 = names.index("f_rest_0")
+    except ValueError:
+        return False
+    n_rest = sum(1 for p in names if p.startswith("f_rest_"))
+    return names[i0:i0 + n_rest] == [f"f_rest_{i}" for i in range(n_rest)]
 
 
 def save_ply(path: str, splats: SplatSet, from_rub: bool = True) -> None:
