@@ -43,6 +43,13 @@ GUT_OPACITY, GUT_DEPTH, GUT_ID = 13, 14, 15
 
 # pixel-context (rays) rows for gut3d, in the (8, 256) per-tile block
 RAY_DX, RAY_DY, RAY_DZ, RAY_OX, RAY_OY, RAY_OZ = 0, 1, 2, 3, 4, 5
+# pixel-context row 6: per-pixel depth limit (mesh depth prepass) for the
+# *_clip models; <= 0 means no limit
+PIX_DEPTH_LIMIT = 6
+
+# tri2d rows (opaque triangle rasterization, S16 threedmesh_raster):
+TRI_X0, TRI_Y0, TRI_X1, TRI_Y1, TRI_X2, TRI_Y2 = 0, 1, 2, 3, 4, 5
+TRI_DEPTH, TRI_ID = 11, 12
 
 
 def kernel_response(ray_dist_sq: jax.Array, degree: int) -> jax.Array:
@@ -80,6 +87,59 @@ def gs2d_alpha(block, pix, px, py, live, st):
     a_raw = op * g
     mask = (d <= st.qmax) & (a_raw >= st.alpha_min) & live
     return jnp.where(mask, jnp.minimum(a_raw, st.alpha_clamp), 0.0)
+
+
+def _depth_clip(block, pix, alpha, depth_row):
+    """Cull contributions behind the per-pixel depth limit (the FTB mesh depth
+    prepass clipping splats, gaussian_splatting.cpp:705-834)."""
+    limit = pix[:, PIX_DEPTH_LIMIT:PIX_DEPTH_LIMIT + 1]     # (256,1)
+    d = block[depth_row:depth_row + 1, :]                   # (1,C)
+    keep = (limit <= 0.0) | (d < limit)
+    return jnp.where(keep, alpha, 0.0)
+
+
+def gs2d_clip_alpha(block, pix, px, py, live, st):
+    """gs2d with a per-pixel depth limit from the pixel context."""
+    return _depth_clip(block, pix, gs2d_alpha(block, pix, px, py, live, st),
+                       GS_DEPTH)
+
+
+def tri2d_alpha(block, pix, px, py, live, st):
+    """Opaque triangle coverage: alpha = 1 inside the triangle, else 0.
+
+    With triangles depth-sorted front-to-back, the standard blend makes the
+    first covering triangle win per pixel — a z-buffer re-expressed as sorted
+    FTB compositing (S16 threedmesh_raster without hardware depth test).
+    Depth is per-triangle (centroid view z): adequate for the composite
+    prepass on typical meshes; interpolated z is future work.
+
+    Vertices arrive *tile-relative* (mesh_raster subtracts each pair's tile
+    origin) so the f32 edge functions evaluate on small coordinates — this
+    kills the seam holes large screen-space triangles otherwise develop along
+    shared edges; a conservative boundary tolerance (~0.05 px x edge length)
+    makes shared edges overlap instead of leaving holes, which is harmless
+    for opaque first-wins compositing.
+    """
+    x0 = block[TRI_X0:TRI_X0 + 1, :]
+    y0 = block[TRI_Y0:TRI_Y0 + 1, :]
+    x1 = block[TRI_X1:TRI_X1 + 1, :]
+    y1 = block[TRI_Y1:TRI_Y1 + 1, :]
+    x2 = block[TRI_X2:TRI_X2 + 1, :]
+    y2 = block[TRI_Y2:TRI_Y2 + 1, :]
+
+    # tile-local pixel coordinates (pixel centers at tile_origin + i + 0.5)
+    lx = px - 16.0 * jnp.floor(px / 16.0)
+    ly = py - 16.0 * jnp.floor(py / 16.0)
+
+    e0 = (x1 - x0) * (ly - y0) - (y1 - y0) * (lx - x0)
+    e1 = (x2 - x1) * (ly - y1) - (y2 - y1) * (lx - x1)
+    e2 = (x0 - x2) * (ly - y2) - (y0 - y2) * (lx - x2)
+    t0 = 0.05 * (jnp.abs(x1 - x0) + jnp.abs(y1 - y0))
+    t1 = 0.05 * (jnp.abs(x2 - x1) + jnp.abs(y2 - y1))
+    t2 = 0.05 * (jnp.abs(x0 - x2) + jnp.abs(y0 - y2))
+    inside = ((e0 >= -t0) & (e1 >= -t1) & (e2 >= -t2)) | \
+             ((e0 <= t0) & (e1 <= t1) & (e2 <= t2))
+    return jnp.where(inside & live, 1.0, 0.0)
 
 
 def gut3d_alpha(block, pix, px, py, live, st):
@@ -135,7 +195,10 @@ def gut3d_alpha(block, pix, px, py, live, st):
     return jnp.where(mask, jnp.minimum(a_raw, st.alpha_clamp), 0.0)
 
 
-ALPHA_FNS = {"gs2d": gs2d_alpha, "gut3d": gut3d_alpha}
-USES_PIX_CTX = {"gs2d": False, "gut3d": True}
-DEPTH_ROW = {"gs2d": GS_DEPTH, "gut3d": GUT_DEPTH}
-ID_ROW = {"gs2d": GS_ID, "gut3d": GUT_ID}
+ALPHA_FNS = {"gs2d": gs2d_alpha, "gs2d_clip": gs2d_clip_alpha,
+             "gut3d": gut3d_alpha, "tri2d": tri2d_alpha}
+USES_PIX_CTX = {"gs2d": False, "gs2d_clip": True, "gut3d": True,
+                "tri2d": False}
+DEPTH_ROW = {"gs2d": GS_DEPTH, "gs2d_clip": GS_DEPTH, "gut3d": GUT_DEPTH,
+             "tri2d": TRI_DEPTH}
+ID_ROW = {"gs2d": GS_ID, "gs2d_clip": GS_ID, "gut3d": GUT_ID, "tri2d": TRI_ID}

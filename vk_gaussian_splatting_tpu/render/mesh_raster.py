@@ -1,0 +1,184 @@
+"""Mesh rasterization + splat/mesh compositing (H9 MeshManagerVk + S16
+threedmesh_raster + the FTB mesh-composited frame of
+gaussian_splatting.cpp:705-850).
+
+The TPU design reuses the whole splat machinery: triangles project, bin into
+tiles through the same pair expansion (rect extents = 2D bounding boxes), and
+"blend" front-to-back with the ``tri2d`` response (alpha 1 inside) — the
+first covering triangle wins, i.e. a z-buffer expressed as sorted
+compositing. The resulting per-pixel mesh depth rides the pixel-context into
+a ``gs2d_clip`` splat pass (the reference's mesh depth prepass clipping the
+splat FTB pass), and the mesh color composites under the remaining splat
+transmittance.
+
+Shading: flat per-face Lambert+Phong against the scene lights with material
+diffuse/emission (wavefront shading subset; reflections/refractions are the
+hybrid ray pipeline's job).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vk_gaussian_splatting_tpu.config import RenderConfig, tiles_x, tiles_y
+from vk_gaussian_splatting_tpu.io.obj import ObjMesh
+from vk_gaussian_splatting_tpu.ops.binning import TileBins, bin_splats
+from vk_gaussian_splatting_tpu.ops.projection import ProjectedSplats
+from vk_gaussian_splatting_tpu.ops.rasterize_pallas import (
+    NUM_ATTRS,
+    OUT_COLS,
+    PIX,
+    TILE,
+    RasterStatics,
+    assemble_image,
+    rasterize_tiles,
+)
+from vk_gaussian_splatting_tpu.ops.response import (
+    TRI_DEPTH,
+    TRI_ID,
+    TRI_X0,
+    PIX_DEPTH_LIMIT,
+)
+from vk_gaussian_splatting_tpu.scene.cameras import Camera, view_transform_points
+from vk_gaussian_splatting_tpu.scene.lights import compute_light, headlight
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MeshBuffers:
+    """Device triangle soup (MeshVk vertex/index/material buffers)."""
+
+    positions: jax.Array    # (V,3)
+    normals: jax.Array      # (V,3)
+    indices: jax.Array      # (F,3) i32
+    face_colors: jax.Array  # (F,3) material diffuse per face
+    face_emission: jax.Array  # (F,3)
+
+
+def mesh_buffers_from_obj(mesh: ObjMesh, transform: np.ndarray | None = None
+                          ) -> MeshBuffers:
+    pos = np.asarray(mesh.positions, np.float32)
+    nrm = np.asarray(mesh.normals, np.float32)
+    if transform is not None:
+        t = np.asarray(transform, np.float64)
+        pos = (pos @ t[:3, :3].T + t[:3, 3]).astype(np.float32)
+        rinv = np.linalg.inv(t[:3, :3]).T
+        nrm = (nrm @ rinv.T).astype(np.float32)
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-12)
+    mats = mesh.materials
+    diffuse = np.asarray(
+        [mats[i].diffuse for i in mesh.mat_indices], np.float32).reshape(-1, 3)
+    emission = np.asarray(
+        [mats[i].emission for i in mesh.mat_indices], np.float32).reshape(-1, 3)
+    return MeshBuffers(
+        positions=jnp.asarray(pos), normals=jnp.asarray(nrm),
+        indices=jnp.asarray(mesh.indices, jnp.int32),
+        face_colors=jnp.asarray(diffuse), face_emission=jnp.asarray(emission),
+    )
+
+
+def _project_triangles(mesh: MeshBuffers, cam: Camera, cfg: RenderConfig,
+                       lights) -> tuple[ProjectedSplats, jax.Array]:
+    """Project + flat-shade triangles; returns a ProjectedSplats adapter for
+    binning (xy = centroid, radius = half bbox) + per-vertex uv array."""
+    p_view = view_transform_points(cam.viewmat, mesh.positions)   # (V,3)
+    z = p_view[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    u = cam.fx * p_view[:, 0] / zs + cam.cx
+    v = cam.fy * p_view[:, 1] / zs + cam.cy
+    uv = jnp.stack([u, v], -1)                                    # (V,2)
+
+    tri_uv = uv[mesh.indices]                                     # (F,3,2)
+    tri_z = z[mesh.indices]                                       # (F,3)
+    depth = tri_z.mean(axis=1)
+    valid = (tri_z > cam.near).all(axis=1) & (tri_z < cam.far).all(axis=1)
+
+    lo = tri_uv.min(axis=1)
+    hi = tri_uv.max(axis=1)
+    center = 0.5 * (lo + hi)
+    radius = jnp.ceil(0.5 * (hi - lo)) + 1.0                      # (F,2)
+
+    # flat shading at face centers (wavefront direct lighting subset)
+    fpos = mesh.positions[mesh.indices].mean(axis=1)              # (F,3)
+    fnrm = mesh.normals[mesh.indices].mean(axis=1)
+    fnrm = fnrm / jnp.maximum(
+        jnp.linalg.norm(fnrm, axis=-1, keepdims=True), 1e-12)
+    lights = list(lights) if lights else [headlight(cam.position)]
+    radiance = mesh.face_emission + 0.1 * mesh.face_colors
+    for light in lights:
+        radiance = radiance + mesh.face_colors * compute_light(
+            light, fpos, fnrm)
+
+    return ProjectedSplats(
+        xy=center, conic=jnp.zeros((center.shape[0], 3), jnp.float32),
+        depth=depth, radius=jnp.where(valid[:, None], radius, 0.0),
+        color=radiance, alpha=jnp.ones_like(depth), valid=valid,
+    ), tri_uv
+
+
+def _build_tri_attrs(tri_uv: jax.Array, proj: ProjectedSplats,
+                     bins: TileBins, tiles_x_: int, chunk: int) -> jax.Array:
+    ps = bins.pair_splat
+    p = ps.shape[0]
+    tuvp = tri_uv[ps]                                             # (P,3,2)
+    # tile-relative vertices: subtract each pair's tile origin so the kernel's
+    # edge functions run on small f32 values (see tri2d_alpha)
+    pair_tile = bins.chunk_tile[jnp.arange(p) // chunk]
+    safe_tile = jnp.maximum(pair_tile, 0)
+    origin = jnp.stack([(safe_tile % tiles_x_) * 16.0,
+                        (safe_tile // tiles_x_) * 16.0], -1)      # (P,2)
+    tuvp = tuvp - origin[:, None, :]
+    rows = [
+        tuvp[:, 0, 0], tuvp[:, 0, 1],
+        tuvp[:, 1, 0], tuvp[:, 1, 1],
+        tuvp[:, 2, 0], tuvp[:, 2, 1],
+        proj.color[ps, 0], proj.color[ps, 1], proj.color[ps, 2],
+        jnp.zeros((p,), jnp.float32),  # row 9 unused
+        jnp.zeros((p,), jnp.float32),  # row 10 unused
+        proj.depth[ps],                # TRI_DEPTH = 11
+        ps.astype(jnp.float32),        # TRI_ID = 12
+    ]
+    attrs = jnp.stack(rows, axis=0)
+    return jnp.concatenate(
+        [attrs, jnp.zeros((NUM_ATTRS - len(rows), p), jnp.float32)], axis=0)
+
+
+def render_mesh(mesh: MeshBuffers, cam: Camera, cfg: RenderConfig,
+                max_pairs: int, lights=(), interpret: bool | None = None):
+    """Rasterize a triangle mesh: returns (color (H,W,3), coverage mask
+    transmittance (H,W) — 0 where covered, depth (H,W), face id (H,W))."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    proj, tri_uv = _project_triangles(mesh, cam, cfg, lights)
+    # opaque geometry: the depth-iso pick at threshold ~1 records the first
+    # covering face
+    st = RasterStatics(
+        tiles_x=tiles_x(cfg), tiles_y=tiles_y(cfg), chunk=cfg.raster.chunk,
+        model="tri2d", depth_iso=0.999, interpret=interpret,
+    )
+    bins = bin_splats(
+        proj, tile_size=cfg.raster.tile_size, tiles_x=st.tiles_x,
+        tiles_y=st.tiles_y, max_pairs=max_pairs, chunk=cfg.raster.chunk)
+    attrs = _build_tri_attrs(tri_uv, proj, bins, st.tiles_x,
+                             cfg.raster.chunk)
+    out = rasterize_tiles(attrs, bins.chunk_tile, bins.chunk_rank,
+                          bins.chunk_last, bins.seg_counts, None, None, st)
+    img, trans, depth, fid = assemble_image(
+        out, bins.seg_counts, st.tiles_x, st.tiles_y, cfg.width, cfg.height,
+        cfg.background, with_aux=True)
+    return img, trans, depth, fid
+
+
+def depth_limit_pix_ctx(depth: jax.Array, cfg: RenderConfig) -> jax.Array:
+    """Pack a (H,W) depth-limit image into the (T,8,256) pixel context
+    (row PIX_DEPTH_LIMIT) for the *_clip blender models."""
+    tx, ty = tiles_x(cfg), tiles_y(cfg)
+    h_pad, w_pad = ty * TILE, tx * TILE
+    full = jnp.zeros((h_pad, w_pad, OUT_COLS), jnp.float32)
+    full = full.at[:depth.shape[0], :depth.shape[1], PIX_DEPTH_LIMIT].set(depth)
+    blocks = full.reshape(ty, TILE, tx, TILE, OUT_COLS)
+    return blocks.transpose(0, 2, 4, 1, 3).reshape(ty * tx, OUT_COLS, PIX)

@@ -353,3 +353,51 @@ def render_3dgs_lit(
                               splat_id=splat_id, num_pairs=bins.num_pairs,
                               overflow=bins.overflow)
     return render_out, shaded, normal_img
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_pairs", "interpret"))
+def render_3dgs_composed(
+    prepared: PreparedSplats,
+    cam: Camera,
+    cfg: RenderConfig,
+    max_pairs: int,
+    mesh,
+    lights: tuple = (),
+    interpret: bool | None = None,
+) -> RenderOutput:
+    """3DGS raster composited with an opaque triangle mesh (the FTB
+    mesh-composited frame, gaussian_splatting.cpp:705-850): mesh depth
+    prepass -> splat FTB pass clipped by mesh depth -> mesh color under the
+    remaining transmittance."""
+    from vk_gaussian_splatting_tpu.render.mesh_raster import (
+        depth_limit_pix_ctx,
+        render_mesh,
+    )
+
+    mesh_img, mesh_trans, mesh_depth, _ = render_mesh(
+        mesh, cam, cfg, max_pairs, lights, interpret)
+
+    proj = project_splats(prepared, cam, cfg)
+    bins = bin_splats(
+        proj, tile_size=cfg.raster.tile_size, tiles_x=tiles_x(cfg),
+        tiles_y=tiles_y(cfg), max_pairs=max_pairs, chunk=cfg.raster.chunk)
+    attrs = build_pair_attrs(proj, bins)
+    st = dataclasses.replace(raster_statics(cfg, interpret), model="gs2d_clip")
+    pix_ctx = depth_limit_pix_ctx(mesh_depth, cfg)
+    out = rasterize_tiles(attrs, bins.chunk_tile, bins.chunk_rank,
+                          bins.chunk_last, bins.seg_counts, pix_ctx, None, st)
+    img, trans, depth, splat_id = assemble_image(
+        out, bins.seg_counts, st.tiles_x, st.tiles_y, cfg.width, cfg.height,
+        (0.0, 0.0, 0.0), with_aux=True)
+
+    final = img + trans[..., None] * mesh_img
+    covered_mesh = mesh_trans < 0.5
+    combined_depth = jnp.where((depth == 0) & covered_mesh, mesh_depth, depth)
+    return RenderOutput(
+        image=final,
+        transmittance=trans * mesh_trans,
+        depth=combined_depth,
+        splat_id=splat_id,
+        num_pairs=bins.num_pairs,
+        overflow=bins.overflow,
+    )
