@@ -104,6 +104,8 @@ class RasterStatics:
     depth_iso: float = 0.7         # depth-pick transmittance threshold
                                    # (prmRaster.depthIsoThreshold)
     stochastic: bool = False       # STOCHASTIC_SPLAT (frag.slang:265-290)
+    multi_iso: bool = False        # 4 depth picks -> deep shadow map rows 4-7
+    iso_thresholds: tuple = (0.75, 0.5, 0.25, 0.05)
     interpret: bool = False
 
 
@@ -206,13 +208,15 @@ def _make_fwd_kernel(st: RasterStatics):
         px, py = _tile_pixel_coords(t, st.tiles_x)
         rng_key = seed_ref[0] + j if st.stochastic else None
 
+        n_iso = len(st.iso_thresholds) if st.multi_iso else 1
+
         @pl.when(t >= 0)
         def _process():
             @pl.when(k == 0)
             def _reset():
                 acc[:, :] = jnp.zeros((PIX, 3), jnp.float32)
                 t_col[:, :] = jnp.ones((PIX, 1), jnp.float32)
-                pick_d[:, :] = jnp.full((PIX, 1), 1e30, jnp.float32)
+                pick_d[:, :] = jnp.full((PIX, 4), 1e30, jnp.float32)
                 pick_id[:, :] = jnp.full((PIX, 1), -1.0, jnp.float32)
                 if uses_pix:
                     copy = pltpu.make_async_copy(pixctx_ref.at[t], pixraw, psem)
@@ -238,27 +242,34 @@ def _make_fwd_kernel(st: RasterStatics):
                 )                                              # (256, 3)
 
                 # depth picking: first splat (FTB order) after which the
-                # running transmittance drops below the iso threshold
-                # (threedgs_raster.frag.slang:325-346); splat id rides along
-                # for the deferred material lookup.
+                # running transmittance drops below each iso threshold
+                # (threedgs_raster.frag.slang:325-346). Normal mode: one
+                # threshold + the picked splat id for material lookup;
+                # multi_iso mode: 4 thresholds forming a deep-shadow-map
+                # transmittance staircase.
                 t_after = tc * excl * q                        # (256, C)
-                cond = (t_after < st.depth_iso) & (alpha > 0.0)
                 lane = jax.lax.broadcasted_iota(
                     jnp.int32, (1, c), 1) * jnp.ones((PIX, 1), jnp.int32)
-                first = jnp.min(jnp.where(cond, lane, 1 << 20), axis=1,
-                                keepdims=True)
-                sel = (lane == first) & cond
-                d_sel = jnp.sum(
-                    jnp.where(sel, block[drow:drow + 1, :], 0.0), axis=1,
-                    keepdims=True)
-                id_sel = jnp.sum(
-                    jnp.where(sel, block[idrow:idrow + 1, :], 0.0), axis=1,
-                    keepdims=True)
-                hit = first < (1 << 20)
-                unpicked = pick_id[:, :] < -0.5
-                upd = hit & unpicked
-                pick_d[:, :] = jnp.where(upd, d_sel, pick_d[:, :])
-                pick_id[:, :] = jnp.where(upd, id_sel, pick_id[:, :])
+                thresholds = (st.iso_thresholds if st.multi_iso
+                              else (st.depth_iso,))
+                for i, thr in enumerate(thresholds):
+                    cond = (t_after < thr) & (alpha > 0.0)
+                    first = jnp.min(jnp.where(cond, lane, 1 << 20), axis=1,
+                                    keepdims=True)
+                    sel = (lane == first) & cond
+                    d_sel = jnp.sum(
+                        jnp.where(sel, block[drow:drow + 1, :], 0.0), axis=1,
+                        keepdims=True)
+                    hit = first < (1 << 20)
+                    unpicked = pick_d[:, i:i + 1] > 1e29
+                    upd = hit & unpicked
+                    if i == 0 and not st.multi_iso:
+                        id_sel = jnp.sum(
+                            jnp.where(sel, block[idrow:idrow + 1, :], 0.0),
+                            axis=1, keepdims=True)
+                        pick_id[:, :] = jnp.where(upd, id_sel, pick_id[:, :])
+                    pick_d[:, i:i + 1] = jnp.where(upd, d_sel,
+                                                   pick_d[:, i:i + 1])
 
                 t_col[:, :] = tc * excl[:, c - 1:c] * q[:, c - 1:c]
 
@@ -268,10 +279,16 @@ def _make_fwd_kernel(st: RasterStatics):
                 # < 128 are padded and their DMA slices misalign, so channels
                 # go in sublanes, pixels in lanes.
                 pd = jnp.where(pick_d[:, :] > 1e29, 0.0, pick_d[:, :])
+                if st.multi_iso:
+                    aux = jnp.transpose(pd)                      # rows 4-7
+                else:
+                    aux = jnp.concatenate(
+                        [jnp.transpose(pd[:, 0:1]),
+                         jnp.transpose(pick_id[:, :]),
+                         jnp.zeros((OUT_COLS - 6, PIX), jnp.float32)], axis=0)
                 outbuf[:, :] = jnp.concatenate(
                     [jnp.transpose(acc[:, :]), jnp.transpose(t_col[:, :]),
-                     jnp.transpose(pd), jnp.transpose(pick_id[:, :]),
-                     jnp.zeros((OUT_COLS - 6, PIX), jnp.float32)], axis=0
+                     aux], axis=0
                 )
                 copy = pltpu.make_async_copy(outbuf, out_ref.at[t], sem)
                 copy.start()
@@ -386,7 +403,7 @@ def _fwd_call(st: RasterStatics, num_chunks: int):
     scratch = [
         pltpu.VMEM((PIX, 3), jnp.float32),        # acc
         pltpu.VMEM((PIX, 1), jnp.float32),        # t_col
-        pltpu.VMEM((PIX, 1), jnp.float32),        # pick_d
+        pltpu.VMEM((PIX, 4), jnp.float32),        # pick_d (up to 4 isos)
         pltpu.VMEM((PIX, 1), jnp.float32),        # pick_id
         pltpu.VMEM((OUT_COLS, PIX), jnp.float32),  # outbuf
     ]
