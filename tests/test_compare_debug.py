@@ -1,0 +1,77 @@
+"""Image compare tool, pixel traces, viewer orbit."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vk_gaussian_splatting_tpu.config import RenderConfig
+from vk_gaussian_splatting_tpu.debug import format_trace, pixel_trace
+from vk_gaussian_splatting_tpu.ops.compare import (
+    CompareMode,
+    ImageCompare,
+    composite,
+)
+from vk_gaussian_splatting_tpu.ops.projection import project_splats
+from vk_gaussian_splatting_tpu.render.pipelines import render_3dgs
+from vk_gaussian_splatting_tpu.scene.cameras import look_at
+from vk_gaussian_splatting_tpu.scene.splat_set import random_splats
+
+
+def test_compare_modes_and_history():
+    key = jax.random.key(0)
+    a = jax.random.uniform(key, (32, 48, 3))
+    b = jnp.clip(a + 0.05, 0, 1)
+    cmp = ImageCompare()
+    cmp.capture(a)
+    for mode in CompareMode:
+        img = np.asarray(cmp.render(b, mode, split_x=0.5, amplify=4.0))
+        assert img.shape == (32, 48, 3)
+        assert np.isfinite(img).all()
+        # left half is always the capture
+        np.testing.assert_allclose(img[:, :24], np.asarray(a)[:, :24], atol=1e-6)
+    s1 = cmp.compute_metrics(b)
+    s2 = cmp.compute_metrics(a)
+    assert s2.psnr > s1.psnr
+    assert len(cmp.history) == 2
+    # identical -> split view right half equals capture in CURRENT mode
+    same = np.asarray(composite(a, a, CompareMode.DIFF_RAW))
+    np.testing.assert_allclose(same[:, 24:], 0.0 * same[:, 24:] + np.asarray(a)[:, 24:] * 0 + same[:, 24:], atol=1e-6)
+
+
+def test_pixel_trace_matches_render():
+    cfg = RenderConfig(width=64, height=48, sh_degree=0)
+    splats = random_splats(jax.random.key(1), 200, sh_degree=0,
+                           scale_range=(-2.5, -1.2))
+    prepared = splats.prepare()
+    cam = look_at([0, 0, -9], [0, 0, 0], [0, 1, 0], 64, 48)
+    out = render_3dgs(prepared, cam, cfg, 32768)
+    proj = project_splats(prepared, cam, cfg)
+    trans = np.asarray(out.transmittance)
+    img = np.asarray(out.image)
+    ys, xs = np.nonzero(trans < 0.8)
+    checked = 0
+    for y, x in list(zip(ys, xs))[::37][:10]:
+        tr = pixel_trace(proj, int(x), int(y), cfg)
+        np.testing.assert_allclose(tr.final_color, img[y, x], atol=2e-5)
+        np.testing.assert_allclose(tr.final_transmittance, trans[y, x],
+                                   atol=2e-5)
+        checked += 1
+    assert checked >= 3
+    text = format_trace(pixel_trace(proj, int(xs[0]), int(ys[0]), cfg))
+    assert "final color" in text and "contributors" in text
+
+
+def test_viewer_orbit(tmp_path):
+    from vk_gaussian_splatting_tpu.io import save_ply
+    from vk_gaussian_splatting_tpu.viewer import main
+
+    splats = random_splats(jax.random.key(2), 150, sh_degree=1,
+                           scale_range=(-2.5, -1.2))
+    ply = tmp_path / "s.ply"
+    save_ply(str(ply), splats)
+    out = tmp_path / "orbit"
+    main([str(ply), "-o", str(out), "--frames", "2", "--size", "64", "48",
+          "--shdegree", "1"])
+    import os
+    files = os.listdir(out)
+    assert len(files) == 2
