@@ -86,8 +86,9 @@ def ewa_project_cov(
     j_row1 = jnp.stack([zeros, fy * inv_z, -fy * ty * inv_z * inv_z], -1)
     jmat = jnp.stack([j_row0, j_row1], axis=-2)              # (N,2,3)
 
-    t = jnp.einsum("nij,jk->nik", jmat, view_rot)            # (N,2,3) = J @ W
-    cov2d = jnp.einsum("nij,njk,nlk->nil", t, cov3d, t)      # T Σ Tᵀ
+    hp = jax.lax.Precision.HIGHEST  # TPU default matmul precision is ~bf16
+    t = jnp.einsum("nij,jk->nik", jmat, view_rot, precision=hp)  # J @ W
+    cov2d = jnp.einsum("nij,njk,nlk->nil", t, cov3d, t, precision=hp)
     return jnp.stack([cov2d[:, 0, 0], cov2d[:, 0, 1], cov2d[:, 1, 1]], -1)
 
 
@@ -258,7 +259,8 @@ def ut_project_splats(
         + [means - axes[:, :, i] for i in range(3)],
         axis=0,
     )                                                        # (7,N,3)
-    p_cam = pts @ cam.viewmat[:3, :3].T + cam.viewmat[:3, 3]
+    p_cam = jnp.matmul(pts, cam.viewmat[:3, :3].T,
+                       precision=jax.lax.Precision.HIGHEST) + cam.viewmat[:3, 3]
     uv, valid_pt = camera_project_points(cam, p_cam, cfg)    # (7,N,2), (7,N)
 
     w_i = 1.0 / 6.0

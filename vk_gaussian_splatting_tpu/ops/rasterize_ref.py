@@ -109,10 +109,12 @@ def rasterize_naive_gut(
 
     d = dirs.reshape(-1, 1, 3)                         # (P,1,3)
     o = origins.reshape(-1, 1, 3)
+    hp = jax.lax.Precision.HIGHEST
     rel = o - pos[None]                                # (P,N,3)
-    oc = jnp.einsum("pni,nij->pnj", rel, rot) / jnp.maximum(scl[None], 1e-12)
-    dc = jnp.einsum("pni,nij->pnj", jnp.broadcast_to(d, rel.shape), rot) \
-        / jnp.maximum(scl[None], 1e-12)
+    oc = jnp.einsum("pni,nij->pnj", rel, rot,
+                    precision=hp) / jnp.maximum(scl[None], 1e-12)
+    dc = jnp.einsum("pni,nij->pnj", jnp.broadcast_to(d, rel.shape), rot,
+                    precision=hp) / jnp.maximum(scl[None], 1e-12)
     dc = dc / jnp.linalg.norm(dc, axis=-1, keepdims=True).clip(1e-15)
     cr = jnp.cross(dc, oc)
     dist_sq = jnp.sum(cr * cr, axis=-1)                # (P,N)
@@ -155,10 +157,12 @@ def raytrace_naive_exact(
 
     d = dirs.reshape(-1, 1, 3)
     o = origins.reshape(-1, 1, 3)
+    hp = jax.lax.Precision.HIGHEST
     rel = o - pos[None]
-    oc = jnp.einsum("pni,nij->pnj", rel, rot) / jnp.maximum(scl[None], 1e-12)
-    dcu = jnp.einsum("pni,nij->pnj", jnp.broadcast_to(d, rel.shape), rot) \
-        / jnp.maximum(scl[None], 1e-12)
+    oc = jnp.einsum("pni,nij->pnj", rel, rot,
+                    precision=hp) / jnp.maximum(scl[None], 1e-12)
+    dcu = jnp.einsum("pni,nij->pnj", jnp.broadcast_to(d, rel.shape), rot,
+                     precision=hp) / jnp.maximum(scl[None], 1e-12)
     dc = dcu / jnp.linalg.norm(dcu, axis=-1, keepdims=True).clip(1e-15)
     cr = jnp.cross(dc, oc)
     dist_sq = jnp.sum(cr * cr, axis=-1)

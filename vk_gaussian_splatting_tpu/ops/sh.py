@@ -78,4 +78,6 @@ def eval_sh_radiance(sh_rest: jax.Array, dirs: jax.Array, degree: int) -> jax.Ar
         return jnp.zeros(sh_rest.shape[:1] + (3,), jnp.float32)
     m = {1: 3, 2: 8, 3: 15}[degree]
     basis = sh_basis(dirs, degree)  # (N, m)
-    return jnp.einsum("nm,nmc->nc", basis, sh_rest[:, :m, :].astype(jnp.float32))
+    return jnp.einsum("nm,nmc->nc", basis,
+                      sh_rest[:, :m, :].astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST)

@@ -48,9 +48,10 @@ def compute_splat_normals(prepared: PreparedSplats, cam_position: jax.Array,
     small_count = jnp.sum(is_small, axis=-1)
 
     # gradient normal: R diag(1/s^2) R^T (cam - mu)
-    canon = jnp.einsum("ni,nij->nj", local, rot)
+    hp = jax.lax.Precision.HIGHEST
+    canon = jnp.einsum("ni,nij->nj", local, rot, precision=hp)
     scaled = canon / jnp.maximum(scl * scl, 1e-20)
-    grad = jnp.einsum("nj,nij->ni", scaled, rot)
+    grad = jnp.einsum("nj,nij->ni", scaled, rot, precision=hp)
     n_grad = grad / jnp.maximum(
         jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-12)
 
@@ -137,7 +138,9 @@ def deferred_shade(
                        jnp.ones_like(xs)], -1)
     r_wc = cam.viewmat[:3, :3].T
     # picked depth is view-space z: world position along the pixel ray
-    world_pos = cam.position + (d_cam * depth_img[..., None]) @ r_wc.T
+    world_pos = cam.position + jnp.matmul(
+        d_cam * depth_img[..., None], r_wc.T,
+        precision=jax.lax.Precision.HIGHEST)
 
     covered = (jnp.linalg.norm(normal_img, axis=-1) > 1e-3) & (depth_img > 0)
     normal = normal_img / jnp.maximum(

@@ -54,7 +54,8 @@ def build_tile_rays(cam: Camera, cfg: RenderConfig,
                           jnp.array([0.0, 0.0, -1.0]))
 
     r_wc = cam.viewmat[:3, :3].T
-    dirs = d_cam @ r_wc.T                                    # (H,W,3) world
+    dirs = jnp.matmul(d_cam, r_wc.T,
+                      precision=jax.lax.Precision.HIGHEST)   # (H,W,3) world
     origin = jnp.broadcast_to(cam.position, dirs.shape)
 
     def with_dof(args):

@@ -125,7 +125,9 @@ def sample_shadow(world_pos: jax.Array, dsm: DeepShadowMap,
     shadow_offset biases the comparison toward the light
     (FrameInfo.particleShadowOffset self-shadow bias)."""
     cam = dsm.cam
-    p_view = world_pos @ cam.viewmat[:3, :3].T + cam.viewmat[:3, 3]
+    p_view = jnp.matmul(world_pos, cam.viewmat[:3, :3].T,
+                        precision=jax.lax.Precision.HIGHEST) \
+        + cam.viewmat[:3, 3]
     z = p_view[..., 2]
     zs = jnp.maximum(z, 1e-6)
     u = cam.fx * p_view[..., 0] / zs + cam.cx

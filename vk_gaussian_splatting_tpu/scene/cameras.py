@@ -54,7 +54,8 @@ class Camera:
     @property
     def position(self) -> jax.Array:
         r = self.viewmat[:3, :3]
-        return -r.T @ self.viewmat[:3, 3]
+        return -jnp.matmul(r.T, self.viewmat[:3, 3],
+                           precision=jax.lax.Precision.HIGHEST)
 
 
 def make_camera(
@@ -98,8 +99,13 @@ def look_at(eye, center, up, width: int, height: int, fov_y_rad: float = 0.8,
 
 
 def view_transform_points(viewmat: jax.Array, points: jax.Array) -> jax.Array:
-    """(N,3) world points -> camera space via (4,4) viewmat."""
-    return points @ viewmat[:3, :3].T + viewmat[:3, 3]
+    """(N,3) world points -> camera space via (4,4) viewmat.
+
+    precision=highest: TPU's default f32 matmul runs at bfloat16 precision,
+    which visibly shifts projected positions (~1e-3 relative); geometry math
+    must use the full-precision MXU passes."""
+    return jnp.matmul(points, viewmat[:3, :3].T,
+                      precision=jax.lax.Precision.HIGHEST) + viewmat[:3, 3]
 
 
 def project_pinhole(cam: Camera, p_cam: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -137,7 +143,7 @@ def camera_rays_pinhole(cam: Camera, width: int, height: int):
         [(xs - cam.cx) / cam.fx, (ys - cam.cy) / cam.fy, jnp.ones_like(xs)], -1
     )
     r_wc = cam.viewmat[:3, :3].T
-    dirs = d_cam @ r_wc.T
+    dirs = jnp.matmul(d_cam, r_wc.T, precision=jax.lax.Precision.HIGHEST)
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     return cam.position, dirs
 

@@ -171,7 +171,9 @@ class SplatScene:
             quats = jnp.asarray(asset.quats)
             from vk_gaussian_splatting_tpu.scene.splat_set import quat_to_rotmat
             r = jnp.asarray(quat_to_rotmat(jnp.asarray(q_t)[None])[0], jnp.float32)
-            means2 = (means @ r.T) * s + jnp.asarray(t, jnp.float32)
+            means2 = jnp.matmul(
+                means, r.T, precision=jax.lax.Precision.HIGHEST) * s \
+                + jnp.asarray(t, jnp.float32)
             quats_n = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True).clip(1e-12)
             quats2 = quat_multiply(jnp.asarray(q_t, jnp.float32)[None], quats_n)
             scales2 = jnp.asarray(asset.scales) + np.log(s) \

@@ -142,7 +142,8 @@ def covariance_from_scale_rot(scales_log: jax.Array, quats: jax.Array,
     s = jnp.exp(scales_log) * scale_multiplier          # (N,3)
     r = quat_to_rotmat(quats)                           # (N,3,3)
     m = r * s[..., None, :]                             # R @ diag(s)
-    cov = jnp.einsum("nij,nkj->nik", m, m)              # M Mᵀ
+    cov = jnp.einsum("nij,nkj->nik", m, m,
+                     precision=jax.lax.Precision.HIGHEST)  # M Mᵀ
     return jnp.stack(
         [cov[:, 0, 0], cov[:, 0, 1], cov[:, 0, 2], cov[:, 1, 1], cov[:, 1, 2], cov[:, 2, 2]],
         axis=-1,
