@@ -155,3 +155,48 @@ def test_dispatch_gut():
     cfg, splats, cam = make_scene(n=50)
     out = render(splats.prepare(), cam, cfg, max_pairs=16384)
     assert np.isfinite(np.asarray(out.image)).all()
+
+
+def test_opencv_distortion_models():
+    """Distorted pinhole/fisheye against a scalar transcription of the
+    reference math (camera_projections:91-171)."""
+    import dataclasses as dc
+    cfg, _, cam = make_scene()
+    # rational radial + tangential + thin prism
+    dist = np.zeros(18, np.float32)
+    dist[0], dist[1] = 0.1, -0.02         # k1, k2
+    dist[3] = 0.05                        # k4 (denominator)
+    dist[6], dist[7] = 0.01, -0.005       # p1, p2
+    dist[8], dist[10] = 0.002, -0.001     # s1, s3
+    cam_d = dc.replace(cam, distortion=jnp.asarray(dist))
+    pts = jnp.asarray([[0.5, -0.3, 4.0], [0.0, 0.0, 2.0]])
+    uv, valid = camera_project_points(cam_d, pts, cfg)
+
+    for i, (x, y, z) in enumerate(np.asarray(pts)):
+        un, vn = x / z, y / z
+        r2 = un * un + vn * vn
+        icd = (1 + r2 * (dist[0] + r2 * dist[1])) / (1 + r2 * dist[3])
+        du = dist[6] * 2 * un * vn + dist[7] * (r2 + 2 * un * un) + r2 * dist[8]
+        dv = dist[6] * (r2 + 2 * vn * vn) + dist[7] * 2 * un * vn + r2 * dist[10]
+        eu = float(cam.fx) * (icd * un + du) + float(cam.cx)
+        ev = float(cam.fy) * (icd * vn + dv) + float(cam.cy)
+        np.testing.assert_allclose(np.asarray(uv[i]), [eu, ev], rtol=1e-5)
+        assert bool(valid[i])
+
+    # undistorted fisheye poly = pure equidistant; with k1 it deviates
+    cfg_f, _, cam_f = make_scene(camera_type=CameraType.FISHEYE)
+    p = jnp.asarray([[2.0, 1.0, 3.0]])
+    uv0, _ = camera_project_points(cam_f, p, cfg_f)
+    dist2 = np.zeros(18, np.float32)
+    dist2[12] = 0.05
+    uv1, _ = camera_project_points(
+        dc.replace(cam_f, distortion=jnp.asarray(dist2)), p, cfg_f)
+    x, y, z = 2.0, 1.0, 3.0
+    rho = np.hypot(x, y)
+    th = np.arctan2(rho, z)
+    delta = th * (1 + 0.05 * th * th) / rho
+    np.testing.assert_allclose(
+        np.asarray(uv1[0]),
+        [float(cam_f.fx) * x * delta + float(cam_f.cx),
+         float(cam_f.fy) * y * delta + float(cam_f.cy)], rtol=1e-5)
+    assert np.abs(np.asarray(uv1) - np.asarray(uv0)).max() > 0.5

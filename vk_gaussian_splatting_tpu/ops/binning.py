@@ -28,6 +28,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vk_gaussian_splatting_tpu.ops.projection import ProjectedSplats
 
@@ -118,8 +119,9 @@ def bin_splats(
 
     dsrc = proj.depth if depth_override is None else depth_override
     d = dsrc[splat]
-    depth_key = jnp.where(pair_valid, d if front_to_back else -d, jnp.inf)
+    d = d if front_to_back else -d
 
+    depth_key = jnp.where(pair_valid, d, jnp.inf)
     tile_s, _, splat_s = jax.lax.sort((tile, depth_key, splat), num_keys=2)
 
     tile_starts = jnp.searchsorted(

@@ -205,23 +205,52 @@ def camera_project_points(cam: Camera, p_cam: jax.Array, cfg: RenderConfig,
                           margin: float = GUT_MARGIN):
     """Project camera-space points through the configured sensor model.
 
-    p_cam (..., 3) -> (uv (..., 2), valid (...,)). Pinhole requires z > 0;
-    fisheye (equidistant r = f*theta) accepts theta < maxAngle
-    (projectPointPinhole / projectPointFisheye, camera_projections:91-171).
+    p_cam (..., 3) -> (uv (..., 2), valid (...,)). Full OpenCV models
+    (projectPointPinhole / projectPointFisheye, camera_projections:91-171):
+    pinhole with rational radial + tangential + thin-prism distortion (valid
+    while 0.8 < icD < 1.2, out-of-limits points clipped outward); fisheye
+    with the theta-polynomial and maxAngle FOV cone. All-zero distortion
+    (the default) reduces to the ideal models.
     """
+    d = cam.distortion
     x, y, z = p_cam[..., 0], p_cam[..., 1], p_cam[..., 2]
     if cfg.camera_type == CameraType.PINHOLE:
         zs = jnp.where(z <= 1e-8, 1e-8, z)
-        u = cam.fx * x / zs + cam.cx
-        v = cam.fy * y / zs + cam.cy
-        valid = z > 0
+        un = x / zs
+        vn = y / zs
+        r2 = un * un + vn * vn
+        a1 = 2.0 * un * vn
+        a2 = r2 + 2.0 * un * un
+        a3 = r2 + 2.0 * vn * vn
+        num = 1.0 + r2 * (d[0] + r2 * (d[1] + r2 * d[2]))
+        den = 1.0 + r2 * (d[3] + r2 * (d[4] + r2 * d[5]))
+        icd = num / jnp.where(den == 0, 1.0, den)
+        du = d[6] * a1 + d[7] * a2 + r2 * (d[8] + r2 * d[9])
+        dv = d[6] * a3 + d[7] * a1 + r2 * (d[10] + r2 * d[11])
+        und = icd * un + du
+        vnd = icd * vn + dv
+        valid_radial = (icd > 0.8) & (icd < 1.2)
+        # out-of-limits: push to the clipping radius along the undistorted
+        # direction (camera_projections:127-137)
+        roi = jnp.sqrt(jnp.float32(cfg.width ** 2 + cfg.height ** 2))
+        rsafe = jnp.sqrt(jnp.maximum(r2, 1e-12))
+        u = jnp.where(valid_radial, cam.fx * und + cam.cx,
+                      (roi / rsafe) * un + cam.cx)
+        v = jnp.where(valid_radial, cam.fy * vnd + cam.cy,
+                      (roi / rsafe) * vn + cam.cy)
+        valid = (z > 0) & valid_radial
     else:
         rho = jnp.sqrt(jnp.maximum(x * x + y * y, 1e-14))
         theta_full = jnp.arctan2(rho, z)
-        max_angle = fisheye_max_angle(cfg.width, cfg.height, cam.cx, cam.cy,
-                                      cam.fx, cam.fy)
+        auto_angle = fisheye_max_angle(cfg.width, cfg.height, cam.cx, cam.cy,
+                                       cam.fx, cam.fy)
+        max_angle = jnp.where(d[16] > 0, d[16], auto_angle)
         theta = jnp.minimum(theta_full, max_angle)
-        delta = theta / rho
+        # theta * (1 + poly(theta^2) * theta^2) / rho (Horner,
+        # camera_projections:159-165)
+        t2 = theta * theta
+        poly = d[12] + t2 * (d[13] + t2 * (d[14] + t2 * d[15]))
+        delta = theta * (poly * t2 + 1.0) / rho
         u = cam.fx * x * delta + cam.cx
         v = cam.fy * y * delta + cam.cy
         valid = theta_full < max_angle

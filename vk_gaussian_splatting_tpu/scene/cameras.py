@@ -41,6 +41,11 @@ class Camera:
     far: jax.Array
     focus_dist: jax.Array
     aperture: jax.Array
+    # OpenCV distortion pack (threedgut_camera_models.h.slang:26-42), all
+    # zeros = ideal lens: [0:6] rational radial k1..k6, [6:8] tangential
+    # p1 p2, [8:12] thin-prism s1..s4, [12:16] fisheye theta-poly k1..k4,
+    # [16] fisheye max angle override (0 = auto), [17] pad.
+    distortion: jax.Array
 
     @property
     def world_from_camera(self) -> jax.Array:
@@ -68,13 +73,17 @@ def make_camera(
     far=1e4,
     focus_dist=1.0,
     aperture=0.0,
+    distortion=None,
 ) -> Camera:
     f32 = lambda v: jnp.asarray(v, jnp.float32)
+    if distortion is None:
+        distortion = jnp.zeros((18,), jnp.float32)
     return Camera(
         viewmat=f32(viewmat),
         fx=f32(fx), fy=f32(fy), cx=f32(cx), cy=f32(cy),
         near=f32(near), far=f32(far),
         focus_dist=f32(focus_dist), aperture=f32(aperture),
+        distortion=f32(distortion),
     )
 
 
