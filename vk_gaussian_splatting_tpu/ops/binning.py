@@ -97,10 +97,23 @@ def bin_splats(
     (SplatSorterAsync, SortMethod.HOST) and by the ray pipelines for radial
     ordering."""
     num_tiles = tiles_x * tiles_y
-    x0, y0, x1, y1 = tile_rect(proj.xy, proj.radius, tile_size, tiles_x, tiles_y)
+
+    # Pre-sort the SPLATS by depth (N elements), so pairs generated in splat
+    # order are already depth-ordered; grouping by tile then needs only a
+    # *stable single-key* sort over the pairs instead of a two-key
+    # lexicographic sort — the dominant cost at scale (P ~ several x N).
+    dsrc = proj.depth if depth_override is None else depth_override
+    dkey = jnp.where(proj.valid, dsrc if front_to_back else -dsrc, jnp.inf)
+    ids0 = jnp.arange(dkey.shape[0], dtype=jnp.int32)
+    _, order = jax.lax.sort((dkey, ids0), num_keys=1)        # depth-sorted ids
+
+    x0_, y0_, x1_, y1_ = tile_rect(proj.xy, proj.radius, tile_size,
+                                   tiles_x, tiles_y)
+    x0, y0, x1, y1 = (a[order] for a in (x0_, y0_, x1_, y1_))
+    valid_s = proj.valid[order] & (proj.radius.max(axis=1)[order] > 0)
     w = jnp.maximum(x1 - x0, 0)
     h = jnp.maximum(y1 - y0, 0)
-    counts = jnp.where(proj.valid & (proj.radius.max(axis=1) > 0), w * h, 0).astype(jnp.int32)
+    counts = jnp.where(valid_s, w * h, 0).astype(jnp.int32)
 
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
     total = starts[-1] + counts[-1]
@@ -117,12 +130,9 @@ def bin_splats(
     pair_valid = p < total
     tile = jnp.where(pair_valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
 
-    dsrc = proj.depth if depth_override is None else depth_override
-    d = dsrc[splat]
-    d = d if front_to_back else -d
-
-    depth_key = jnp.where(pair_valid, d, jnp.inf)
-    tile_s, _, splat_s = jax.lax.sort((tile, depth_key, splat), num_keys=2)
+    tile_s, splat_sorted = jax.lax.sort((tile, splat), num_keys=1,
+                                        is_stable=True)
+    splat_s = order[splat_sorted]  # back to original splat indices
 
     tile_starts = jnp.searchsorted(
         tile_s, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
