@@ -29,13 +29,19 @@ def make_scene(n_splats: int):
     return splats.prepare()
 
 
-def time_fn(fn, *args, iters=20, warmup=3):
+def _sync(x):
+    """Force real device completion: on the tunneled axon runtime,
+    block_until_ready returns at enqueue; only a device->host fetch of a
+    value that depends on the computation truly waits."""
+    return float(jnp.sum(jax.tree.leaves(x)[0]))
+
+
+def time_fn(fn, *args, iters=10, warmup=2):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        _sync(fn(*args))
     return (time.perf_counter() - t0) / iters
 
 
@@ -45,18 +51,17 @@ def main():
     prepared = make_scene(n_splats)
     cam = look_at([0, 0, -7], [0, 0, 0], [0, 1, 0], cfg.width, cfg.height,
                   fov_y_rad=0.9)
-    max_pairs = 8 << 20
 
-    fwd = jax.jit(lambda p, c: render_3dgs(p, c, cfg, max_pairs).image)
+    fwd = jax.jit(lambda p, c: render_3dgs(p, c, cfg).image)
 
     def loss(p, c):
-        o = render_3dgs(p, c, cfg, max_pairs)
+        o = render_3dgs(p, c, cfg)
         return jnp.sum(o.image ** 2)
 
     fwd_bwd = jax.jit(jax.grad(loss))
 
     dt_fwd = time_fn(fwd, prepared, cam)
-    dt_fwd_bwd = time_fn(fwd_bwd, prepared, cam, iters=10)
+    dt_fwd_bwd = time_fn(fwd_bwd, prepared, cam, iters=5)
 
     mpix_s = cfg.width * cfg.height / dt_fwd / 1e6
     mpix_s_train = cfg.width * cfg.height / dt_fwd_bwd / 1e6

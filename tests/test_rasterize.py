@@ -41,9 +41,18 @@ def test_pallas_matches_naive(seed, n):
 
 
 def test_overflow_flag():
-    cfg, splats, cam = make_scene(n=2000)
-    out = render_3dgs(splats.prepare(), cam, cfg, max_pairs=256)
+    import dataclasses as dc
+    # slots mode: overflow = some splat's rect truncated by the slot budget
+    cfg, splats, cam = make_scene(n=50)
+    big = dc.replace(splats, scales=splats.scales + 2.0)  # huge splats
+    cfg_small = cfg.replace(raster=dc.replace(cfg.raster, slots_k=4))
+    out = render_3dgs(big.prepare(), cam, cfg_small, max_pairs=0)
     assert bool(out.overflow)
+    # exact mode: overflow = pair budget exceeded
+    cfg2, splats2, cam2 = make_scene(n=2000)
+    cfg_exact = cfg2.replace(raster=dc.replace(cfg2.raster, expansion="exact"))
+    out2 = render_3dgs(splats2.prepare(), cam2, cfg_exact, max_pairs=256)
+    assert bool(out2.overflow)
 
 
 def test_gradients_match_naive():

@@ -148,14 +148,17 @@ def test_ewa_projection_against_numpy():
 
 
 def test_binning_pairs_against_numpy():
+    from vk_gaussian_splatting_tpu.render.pipelines import gs_attr_rows
+
     cfg = RenderConfig(width=64, height=64)
     splats = random_splats(jax.random.key(5), 100, sh_degree=0,
                            scale_range=(-2.5, -1.0))
     prepared = splats.prepare()
     cam = look_at([0, 0, -8], [0, 0, 0], [0, 1, 0], cfg.width, cfg.height)
     proj = project_splats(prepared, cam, cfg)
-    bins = bin_splats(proj, tile_size=16, tiles_x=4, tiles_y=4,
-                      max_pairs=16384, chunk=128)
+    bins = bin_splats(proj, gs_attr_rows(proj), tile_size=16, tiles_x=4,
+                      tiles_y=4, chunk=128, slots_k=16)
+    assert not bool(bins.overflow)
 
     # numpy reference pair set
     xy = np.asarray(proj.xy)
@@ -175,13 +178,11 @@ def test_binning_pairs_against_numpy():
 
     got = set()
     ps = np.asarray(bins.pair_splat)
-    pv = np.asarray(bins.pair_valid)
     starts = np.asarray(bins.seg_starts)
     counts = np.asarray(bins.seg_counts)
     for t in range(16):
-        for p in range(starts[t], starts[t] + counts[t]):
-            assert pv[p]
-            got.add((t, int(ps[p])))
+        for p_ in range(starts[t], starts[t] + counts[t]):
+            got.add((t, int(ps[p_])))
     assert got == expected
     assert int(bins.num_pairs) == len(expected)
 
@@ -192,15 +193,37 @@ def test_binning_pairs_against_numpy():
         d = depth[seg]
         assert (np.diff(d) >= -1e-6).all()
 
-    # chunk schedule consistency
-    ct = np.asarray(bins.chunk_tile)
-    cr = np.asarray(bins.chunk_rank)
-    cl = np.asarray(bins.chunk_last)
+    # attrs rows carry the right values in sorted pair order (spot check)
+    attrs = np.asarray(bins.attrs)
+    for t in (0, 5, 15):
+        for p_ in range(starts[t], min(starts[t] + counts[t],
+                                       starts[t] + 5)):
+            i = int(ps[p_])
+            np.testing.assert_allclose(attrs[0, p_], xy[i, 0], rtol=1e-6)
+            np.testing.assert_allclose(attrs[9, p_], depth[i], rtol=1e-6)
+
+    # schedule consistency: every step's lane range lies in its tile segment
+    st_t = np.asarray(bins.sched_tile)
+    st_b = np.asarray(bins.sched_block)
+    st_lo = np.asarray(bins.sched_lo)
+    st_hi = np.asarray(bins.sched_hi)
+    st_first = np.asarray(bins.sched_first)
+    st_last = np.asarray(bins.sched_last)
+    covered = {t: [] for t in range(16)}
+    for sidx in range(len(st_t)):
+        t = st_t[sidx]
+        if t < 0:
+            continue
+        lo = st_b[sidx] * 128 + st_lo[sidx]
+        hi = st_b[sidx] * 128 + st_hi[sidx]
+        assert starts[t] <= lo < hi <= starts[t] + counts[t]
+        covered[t].append((lo, hi, st_first[sidx], st_last[sidx]))
     for t in range(16):
-        chunks = np.where(ct == t)[0]
-        nch = -(-counts[t] // 128)
-        assert len(chunks) == nch
-        if nch:
-            assert (cr[chunks] == np.arange(nch)).all()
-            assert cl[chunks[-1]] == 1
-            assert (cl[chunks[:-1]] == 0).all()
+        segs = covered[t]
+        if counts[t] == 0:
+            assert not segs
+            continue
+        assert segs[0][0] == starts[t] and segs[0][2] == 1
+        assert segs[-1][1] == starts[t] + counts[t] and segs[-1][3] == 1
+        for a, b in zip(segs, segs[1:]):
+            assert a[1] == b[0]  # contiguous coverage

@@ -168,10 +168,12 @@ class BenchmarkSequencer:
             return proj_fn(prepared, cam, cfg)
 
         def sort(proj):
-            return bin_splats(
-                proj, tile_size=cfg.raster.tile_size, tiles_x=tiles_x(cfg),
-                tiles_y=tiles_y(cfg), max_pairs=max_pairs,
-                chunk=cfg.raster.chunk)
+            from vk_gaussian_splatting_tpu.render.pipelines import (
+                bin_for_cfg,
+                gs_attr_rows,
+                gut_attr_rows,
+            )
+            return bin_for_cfg(proj, gs_attr_rows(proj), cfg, max_pairs)
 
         def frame(prepared, cam):
             return render(prepared, cam, cfg, max_pairs)

@@ -75,6 +75,8 @@ class RasterConfig:
 
     tile_size: int = 16
     chunk: int = 128             # pairs blended per tile-loop iteration (VMEM chunk)
+    slots_k: int = 16            # max tiles per splat in slot expansion
+    expansion: str = "slots"     # "slots" (fast, capped) | "exact" (searchsorted)
     extent_sigma: float = 2.8284271247461903  # sqrt(8) std-devs (threedgs.h.slang stdDev)
     max_basis_px: float = 2048.0  # extent clamp (threedgs.h.slang:117-118)
     dilation: float = 0.3         # low-pass dilation (threedgs.h.slang:69-70)

@@ -1,24 +1,28 @@
-"""Tile binning: splat -> (tile, depth)-sorted pair lists.
+"""Tile binning: splat -> (tile, depth)-sorted attribute lists + blend schedule.
 
 The reference builds per-frame visible-splat lists with GPU atomics + indirect
-dispatch (dist.comp.slang:136-153) and draws oriented quads; tile-based
-rasterization needs each splat duplicated into every 16x16 tile its extent
-covers. TPU/XLA forbids dynamic shapes and atomics, so this module re-expresses
-binning as pure, static-shape ops:
+dispatch (dist.comp.slang:136-153); tile rasterization needs each splat
+duplicated into every 16x16 tile its extent covers. TPU/XLA forbids dynamic
+shapes and atomics — and, measured on v5e, *random gathers and searchsorted
+are 10-60x slower than sorts and scans*. The design therefore avoids
+per-pair gathers entirely:
 
-1. per-splat tile bounding rectangle + pair count (vectorized)
-2. exclusive cumsum -> pair offsets
-3. *gather-based expansion*: pair p finds its source splat with a single
-   ``searchsorted`` over the offsets (no scatter, no atomics), and decodes its
-   within-rect rank into a tile coordinate
-4. lexicographic (tile, depth) sort via lax.sort; invalid pairs carry a
-   sentinel tile id so they compact to the tail (the vrdx +inf-key padding
-   trick, upsweep.slang:37)
-5. per-tile segment boundaries via searchsorted
+1. splats pre-sort by depth at N-level, carrying ALL render attributes as
+   sort payloads (one variadic lax.sort);
+2. **slot expansion**: every splat broadcasts its attribute row to K
+   contiguous tile-slots (pure reshape/broadcast — no searchsorted); the
+   covered tile rectangle is clamped to at most K tiles around the splat
+   center (overflow reported; an exact searchsorted-based expansion remains
+   for giant-splat scenes);
+3. pairs sort by a single stable tile key, again carrying the attributes as
+   payloads — depth order within tiles is inherited from the pre-sort;
+4. a small **blend schedule** replaces physical chunk alignment: each step is
+   (tile, 128-lane block, lane range) so segments may start mid-block; the
+   Pallas kernel DMAs blocks at provably-aligned offsets and masks lanes.
+   Shared boundary blocks simply appear in two steps.
 
-The pair capacity is a static budget; ``overflow`` reports truncation so hosts
-can re-render with a bigger budget. Everything is O(P log P) in XLA with no
-data-dependent shapes.
+Everything is O(P log P) sort + O(P) scans; the only searchsorted runs on
+schedule-sized arrays (tens of thousands), not pairs.
 """
 
 from __future__ import annotations
@@ -28,31 +32,50 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from vk_gaussian_splatting_tpu.ops.projection import ProjectedSplats
+
+NUM_ATTRS = 16
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TileBins:
-    """Sorted pair lists + per-tile ranges, chunk-aligned for the Pallas kernel.
+    """Sorted pair attributes + the blend schedule for the tile kernel."""
 
-    Each tile's segment starts at a multiple of ``chunk`` in the pair arrays
-    (Mosaic dynamic DMA slices must be 128-lane aligned); ``seg_counts`` holds
-    the *true* pair count, the gap up to the next aligned start is dead space
-    masked inside the kernel.
-    """
+    attrs: jax.Array        # (16, P) pair attributes in (tile, depth) order
+    pair_splat: jax.Array   # (P,) i32 source splat per sorted pair
+    pair_valid: jax.Array   # (P,) bool live pair
+    seg_starts: jax.Array   # (T,) i32 segment starts (unaligned)
+    seg_counts: jax.Array   # (T,) i32 per-tile pair counts
+    sched_word: jax.Array   # (S,) i32 packed step: tile|lo|hi|first|last
+    sched_block: jax.Array  # (S,) i32 step 128-lane block index
+    num_pairs: jax.Array    # () i32 live pair count
+    overflow: jax.Array     # () bool — slot/schedule budget truncated
 
-    pair_splat: jax.Array   # (P_aligned,) i32 source splat per pair (aligned order)
-    pair_valid: jax.Array   # (P_aligned,) bool — live pair (not alignment padding)
-    seg_starts: jax.Array   # (T,) i32 aligned segment starts
-    seg_counts: jax.Array   # (T,) i32 true per-tile pair counts
-    chunk_tile: jax.Array   # (S,) i32 chunk schedule: owning tile id, -1 = idle
-    chunk_rank: jax.Array   # (S,) i32 chunk index within its tile
-    chunk_last: jax.Array   # (S,) i32 1 if last chunk of its tile
-    num_pairs: jax.Array    # ()   i32 valid pair count (pre-truncation)
-    overflow: jax.Array     # ()   bool — pair budget exceeded, tail dropped
+    # packed-word layout (SMEM is ~1MB; six arrays at schedule scale blew it):
+    #   word = (tile << 17) | (lo << 10) | (hi << 2) | (first << 1) | last
+    # tile 14 bits (sentinel 0x3FFF = idle), lo 7 bits, hi 8 bits.
+    @property
+    def sched_tile(self):
+        t = self.sched_word >> 17
+        return jnp.where(t == 0x3FFF, -1, t)
+
+    @property
+    def sched_lo(self):
+        return (self.sched_word >> 10) & 0x7F
+
+    @property
+    def sched_hi(self):
+        return (self.sched_word >> 2) & 0xFF
+
+    @property
+    def sched_first(self):
+        return (self.sched_word >> 1) & 1
+
+    @property
+    def sched_last(self):
+        return self.sched_word & 1
 
 
 def tile_rect(xy: jax.Array, radius: jax.Array, tile_size: int,
@@ -73,114 +96,172 @@ def tile_rect(xy: jax.Array, radius: jax.Array, tile_size: int,
     return x0, y0, x1, y1
 
 
-def aligned_capacity(max_pairs: int, num_tiles: int, chunk: int) -> int:
-    """Static pair-array capacity after per-tile chunk alignment."""
-    cap = max_pairs + num_tiles * chunk
-    return -(-cap // chunk) * chunk
+def schedule_capacity(pair_budget: int, num_tiles: int, chunk: int) -> int:
+    """Static schedule length: every live block + at most one shared-boundary
+    step per tile. Bounded by a live-pair budget so the packed schedule fits
+    SMEM (~1 MB)."""
+    return -(-pair_budget // chunk) + num_tiles
 
 
-@partial(jax.jit, static_argnames=("tile_size", "tiles_x", "tiles_y", "max_pairs",
-                                   "chunk", "front_to_back"))
+@partial(jax.jit, static_argnames=("tile_size", "tiles_x", "tiles_y", "chunk",
+                                   "slots_k", "max_pairs", "front_to_back",
+                                   "expansion"))
 def bin_splats(
     proj: ProjectedSplats,
+    attr_rows: jax.Array,          # (R<=16, N) per-splat render attributes
     *,
     tile_size: int,
     tiles_x: int,
     tiles_y: int,
-    max_pairs: int,
     chunk: int = 128,
+    slots_k: int = 16,
+    max_pairs: int = 0,            # exact mode pair budget (0 = slots mode)
+    sched_budget: int = 0,         # live-pair bound for the schedule (0=auto)
     front_to_back: bool = True,
-    depth_override: jax.Array | None = None,
+    expansion: str = "slots",
 ) -> TileBins:
-    """depth_override: optional (N,) sort keys replacing view depth — used by
-    the host (CPU) sorting path to impose a presorted order
-    (SplatSorterAsync, SortMethod.HOST) and by the ray pipelines for radial
-    ordering."""
     num_tiles = tiles_x * tiles_y
+    if num_tiles >= 0x3FFF:
+        raise ValueError("packed schedule supports < 16383 tiles; shard the "
+                         "image into bands (parallel/sharded_render)")
+    n = proj.xy.shape[0]
+    r = attr_rows.shape[0]
 
-    # Pre-sort the SPLATS by depth (N elements), so pairs generated in splat
-    # order are already depth-ordered; grouping by tile then needs only a
-    # *stable single-key* sort over the pairs instead of a two-key
-    # lexicographic sort — the dominant cost at scale (P ~ several x N).
-    dsrc = proj.depth if depth_override is None else depth_override
-    dkey = jnp.where(proj.valid, dsrc if front_to_back else -dsrc, jnp.inf)
-    ids0 = jnp.arange(dkey.shape[0], dtype=jnp.int32)
-    _, order = jax.lax.sort((dkey, ids0), num_keys=1)        # depth-sorted ids
+    # ---- 1. depth pre-sort at splat level, attributes as payloads ----------
+    dkey = jnp.where(proj.valid, proj.depth if front_to_back else -proj.depth,
+                     jnp.inf)
+    x0, y0, x1, y1 = tile_rect(proj.xy, proj.radius, tile_size,
+                               tiles_x, tiles_y)
+    ids0 = jnp.arange(n, dtype=jnp.int32)
+    valid0 = (proj.valid & (proj.radius.max(axis=1) > 0)
+              & (x1 > x0) & (y1 > y0))
+    cx0 = (proj.xy[:, 0] / tile_size).astype(jnp.int32)
+    cy0 = (proj.xy[:, 1] / tile_size).astype(jnp.int32)
+    ops = (dkey, ids0, x0, y0, x1, y1, cx0, cy0,
+           valid0.astype(jnp.int32)) + tuple(attr_rows)
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    (_, sids, x0, y0, x1, y1, cx, cy, valid_s) = sorted_ops[:9]
+    rows_s = sorted_ops[9:]
+    valid_s = valid_s > 0
 
-    x0_, y0_, x1_, y1_ = tile_rect(proj.xy, proj.radius, tile_size,
-                                   tiles_x, tiles_y)
-    x0, y0, x1, y1 = (a[order] for a in (x0_, y0_, x1_, y1_))
-    valid_s = proj.valid[order] & (proj.radius.max(axis=1)[order] > 0)
     w = jnp.maximum(x1 - x0, 0)
     h = jnp.maximum(y1 - y0, 0)
-    counts = jnp.where(valid_s, w * h, 0).astype(jnp.int32)
 
-    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
-    total = starts[-1] + counts[-1]
-    overflow = total > max_pairs
+    if expansion == "slots":
+        # ---- 2a. K-slot expansion: clamp the rect to at most K tiles
+        # centred on the splat's own tile, then broadcast ------------------
+        k = slots_k
+        cx = jnp.clip(cx, x0, jnp.maximum(x1 - 1, x0))
+        cy = jnp.clip(cy, y0, jnp.maximum(y1 - 1, y0))
+        wc = jnp.minimum(w, k)
+        hc = jnp.minimum(h, jnp.maximum(k // jnp.maximum(wc, 1), 1))
+        # prefer squarer windows when clamping both dims
+        wc = jnp.minimum(wc, jnp.maximum(k // jnp.maximum(hc, 1), 1))
+        x0c = jnp.clip(cx - wc // 2, x0, jnp.maximum(x1 - wc, x0))
+        y0c = jnp.clip(cy - hc // 2, y0, jnp.maximum(y1 - hc, y0))
+        truncated = (wc * hc) < (w * h)
+        overflow = jnp.any(truncated & valid_s)
 
-    # Expansion by gather: pair p -> source splat via searchsorted over offsets.
-    p = jnp.arange(max_pairs, dtype=jnp.int32)
-    splat = jnp.searchsorted(starts, p, side="right").astype(jnp.int32) - 1
-    splat = jnp.clip(splat, 0, counts.shape[0] - 1)
-    rank = p - starts[splat]
-    ws = jnp.maximum(w[splat], 1)
-    tx = x0[splat] + rank % ws
-    ty = y0[splat] + rank // ws
-    pair_valid = p < total
-    tile = jnp.where(pair_valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
+        slot = jnp.broadcast_to(
+            jax.lax.iota(jnp.int32, k)[None, :], (n, k))
+        tx = x0c[:, None] + slot % jnp.maximum(wc, 1)[:, None]
+        ty = y0c[:, None] + slot // jnp.maximum(wc, 1)[:, None]
+        slot_valid = (slot < (wc * hc)[:, None]) & valid_s[:, None]
+        tile = jnp.where(slot_valid, ty * tiles_x + tx, num_tiles)
 
-    tile_s, splat_sorted = jax.lax.sort((tile, splat), num_keys=1,
-                                        is_stable=True)
-    splat_s = order[splat_sorted]  # back to original splat indices
+        p_raw = n * k
+        p_total = -(-p_raw // chunk) * chunk
+        pad = p_total - p_raw
 
+        def bcast(a):
+            flat = jnp.broadcast_to(a[:, None], (n, k)).reshape(p_raw)
+            return jnp.pad(flat, (0, pad))
+
+        tile_f = jnp.pad(tile.reshape(p_raw).astype(jnp.int32), (0, pad),
+                         constant_values=num_tiles)
+        pair_rows = tuple(bcast(row) for row in rows_s)
+        pair_sid = jnp.pad(
+            jnp.broadcast_to(sids[:, None], (n, k)).reshape(p_raw), (0, pad))
+        num_pairs = jnp.sum(slot_valid)
+    else:
+        # ---- 2b. exact expansion (searchsorted; slow but uncapped) -------
+        assert max_pairs > 0, "exact expansion needs a max_pairs budget"
+        max_pairs = -(-max_pairs // chunk) * chunk
+        counts = jnp.where(valid_s, w * h, 0).astype(jnp.int32)
+        starts = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+        total = starts[-1] + counts[-1]
+        overflow = total > max_pairs
+        p_total = max_pairs
+        p = jnp.arange(p_total, dtype=jnp.int32)
+        s = jnp.clip(jnp.searchsorted(starts, p, side="right") - 1, 0, n - 1)
+        rank = p - starts[s]
+        ws = jnp.maximum(w[s], 1)
+        tx = x0[s] + rank % ws
+        ty = y0[s] + rank // ws
+        pv = p < total
+        tile_f = jnp.where(pv, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
+        pair_rows = tuple(row[s] for row in rows_s)
+        pair_sid = sids[s]
+        num_pairs = jnp.minimum(total, p_total)
+
+    # ---- 3. stable single-key tile sort, attributes as payloads ------------
+    sorted_pairs = jax.lax.sort((tile_f, pair_sid) + pair_rows, num_keys=1,
+                                is_stable=True)
+    tile_sorted = sorted_pairs[0]
+    splat_sorted = sorted_pairs[1]
+    rows_sorted = sorted_pairs[2:]
+
+    parts = [jnp.stack(rows_sorted, axis=0)]
+    if r < NUM_ATTRS:
+        parts.append(jnp.zeros((NUM_ATTRS - r, p_total), jnp.float32))
+    attrs = jnp.concatenate(parts, axis=0)
+
+    pair_valid = tile_sorted < num_tiles
+
+    # ---- 4. per-tile segments + blend schedule (small arrays only) ---------
     tile_starts = jnp.searchsorted(
-        tile_s, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+        tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    seg_counts = tile_starts[1:] - tile_starts[:-1]              # (T,)
+    seg_counts = tile_starts[1:] - tile_starts[:-1]
 
-    # Re-space segments so every tile starts at a chunk-aligned offset
-    # (Mosaic DMA alignment). Pure gather: aligned position q maps back to its
-    # source position in the sorted arrays.
-    aligned_counts = -(-seg_counts // chunk) * chunk
-    aligned_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned_counts)]
-    ).astype(jnp.int32)                                          # (T+1,)
+    first_block = tile_starts[:-1] // chunk
+    last_block = jnp.maximum(tile_starts[1:] - 1, tile_starts[:-1]) // chunk
+    nsteps_t = jnp.where(seg_counts > 0, last_block - first_block + 1, 0)
+    step_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nsteps_t)]).astype(jnp.int32)
+    s_total = step_starts[-1]
 
-    p_out = aligned_capacity(max_pairs, num_tiles, chunk)
-    q = jnp.arange(p_out, dtype=jnp.int32)
+    if sched_budget <= 0:
+        sched_budget = min(p_total, max(4 * n, 1 << 20))
+    s_cap = schedule_capacity(min(sched_budget, p_total), num_tiles, chunk)
+    overflow = overflow | (s_total > s_cap)
+    sidx = jnp.arange(s_cap, dtype=jnp.int32)
     seg = jnp.clip(
-        jnp.searchsorted(aligned_starts, q, side="right").astype(jnp.int32) - 1,
-        0, num_tiles - 1,
-    )
-    rank = q - aligned_starts[seg]
-    src = jnp.clip(tile_starts[seg] + rank, 0, max_pairs - 1)
-    pair_valid = rank < seg_counts[seg]
-    pair_splat = jnp.where(pair_valid, splat_s[src], 0)
-
-    # Chunk schedule for the grid-over-chunks rasterizer: chunk j covers pair
-    # rows [j*chunk, (j+1)*chunk); segments partition [0, aligned_total), so a
-    # chunk maps to exactly one tile (or -1 when past the end).
-    s_chunks = p_out // chunk
-    pos = jnp.arange(s_chunks, dtype=jnp.int32) * chunk
-    cseg = jnp.clip(
-        jnp.searchsorted(aligned_starts, pos, side="right").astype(jnp.int32) - 1,
-        0, num_tiles - 1,
-    )
-    c_live = pos < aligned_starts[-1]
-    chunk_tile = jnp.where(c_live, cseg, -1)
-    chunk_rank = (pos - aligned_starts[cseg]) // chunk
-    seg_aligned_end = aligned_starts[cseg] + aligned_counts[cseg]
-    chunk_last = (c_live & (pos + chunk >= seg_aligned_end)).astype(jnp.int32)
+        jnp.searchsorted(step_starts, sidx, side="right").astype(jnp.int32) - 1,
+        0, num_tiles - 1)
+    kstep = sidx - step_starts[seg]
+    block = first_block[seg] + kstep
+    lo = jnp.maximum(tile_starts[seg] - block * chunk, 0)
+    hi = jnp.minimum(tile_starts[seg + 1] - block * chunk, chunk)
+    live = sidx < s_total
+    tile_field = jnp.where(live, seg, 0x3FFF)
+    first = (live & (kstep == 0)).astype(jnp.int32)
+    last = (live & (kstep == nsteps_t[seg] - 1)).astype(jnp.int32)
+    word = ((tile_field << 17)
+            | (jnp.where(live, lo, 0) << 10)
+            | (jnp.where(live, hi, 0) << 2)
+            | (first << 1) | last).astype(jnp.int32)
+    sched_block = jnp.where(live, block, 0).astype(jnp.int32)
 
     return TileBins(
-        pair_splat=pair_splat,
+        attrs=attrs,
+        pair_splat=splat_sorted,
         pair_valid=pair_valid,
-        seg_starts=aligned_starts[:-1],
+        seg_starts=tile_starts[:-1],
         seg_counts=seg_counts,
-        chunk_tile=chunk_tile,
-        chunk_rank=chunk_rank,
-        chunk_last=chunk_last,
-        num_pairs=jnp.minimum(total, max_pairs),
+        sched_word=word,
+        sched_block=sched_block,
+        num_pairs=num_pairs,
         overflow=overflow,
     )

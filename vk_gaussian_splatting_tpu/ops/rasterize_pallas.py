@@ -1,50 +1,44 @@
 """Pallas TPU tile blender — forward + custom-VJP backward, generic over
-response models (2D conic splats for 3DGS, exact 3D ray response for 3DGUT).
+response models (2D conic splats for 3DGS, exact 3D ray response for 3DGUT,
+opaque triangles for meshes).
 
-TPU-native replacement for the reference's raster pipelines (mesh shaders S3/S7
-+ fragment blends S5, threedgs_raster.* / threedgut_raster.*). Where the GPU
-rasterizes oriented quads with per-fragment interlocked blending, the TPU
-kernel blends each 16x16 tile's depth-sorted splat list front-to-back in
-chunks of C splats.
+TPU-native replacement for the reference's raster pipelines (mesh shaders
+S3/S7 + fragment blends S5). Where the GPU rasterizes quads with per-fragment
+interlocked blending, the TPU kernel blends each 16x16 tile's depth-sorted
+attribute list front-to-back in 128-lane blocks.
 
-Design notes (all shaped by Mosaic/TPU semantics):
+Design notes (all shaped by Mosaic/TPU semantics and v5e measurements):
 
-- **The grid iterates over chunks, not tiles.** Dynamic-trip-count loops
-  (lax.while_loop / dynamic fori) deadlock the axon TPU runtime, and a static
-  per-tile bound would be O(T * P). Instead the host precomputes a flat chunk
-  schedule — chunk j belongs to tile ``chunk_tile[j]`` with in-tile rank
-  ``chunk_rank[j]`` — and the kernel is pure straight-line code under
-  ``pl.when`` guards. Per-tile accumulators live in VMEM scratch, which
-  persists across sequential grid steps; the result is flushed to HBM on each
-  tile's last chunk.
-- **Attributes stream through the BlockSpec pipeline.** Pair attributes are
-  packed (16, P) f32 in sorted pair order with every tile segment start
-  chunk-aligned (ops/binning.py), so chunk j's data is exactly block j — the
-  Mosaic pipeline double-buffers the HBM->VMEM DMA automatically.
-- A chunk is blended over all 256 pixels at once: alphas form a (256, C)
-  block (pixels in sublanes, splats in lanes), the front-to-back transmittance
-  scan is a log2(C)-step shift-multiply prefix product on the VPU, and color
-  accumulation is a (256,C)x(C,3) contraction on the MXU.
+- **The grid iterates over a host-built schedule**, one step = (tile, 128-lane
+  block, [lo,hi) lane range). Dynamic-trip-count loops deadlock the axon TPU
+  runtime, so the kernel is straight-line code under ``pl.when``; per-tile
+  accumulators persist in VMEM scratch across sequential steps and flush on
+  each tile's last step. Segments may start mid-block (no physical alignment
+  pass — gathers are 10-60x slower than sorts on this chip); a block shared
+  by two tiles simply appears in two steps.
+- Blocks are DMA'd manually at dynamic-but-provably-aligned offsets
+  (``pl.multiple_of(block * 128, 128)``), double-buffered: the next step's
+  block prefetches while the current one blends.
+- A block of C splats blends over all 256 pixels at once: alphas form a
+  (256, C) array (pixels in sublanes, splats in lanes), the front-to-back
+  transmittance scan is a log2(C)-step shift-multiply prefix product on the
+  VPU, and color accumulation is a (256,C)x(C,3) MXU contraction.
 - Early termination when every pixel's transmittance drops below threshold
-  (the FTB early-out of threedgs_raster.frag.slang:299-346) skips the chunk
-  compute via ``pl.when``; the sorted loop is deterministic, no fragment
-  interlock needed.
-- **Backward is a single forward-order sweep.** The usual back-to-front walk
-  needs suffix sums S_k = sum_{j>k} w_j (c_j.g); but the total
-  S_total = sum_j w_j (c_j.g) equals rgb_out.g_rgb, computable in XLA from the
-  *saved forward output*, so S_k = S_total - S_incl_k falls out of a forward
-  prefix sum. No reverse iteration, no divide-by-(1-alpha) transmittance
-  reconstruction.
-- **Response gradients come from in-kernel jax.vjp** of the model's alpha
-  function (ops/response.py) — any new response model (GUT's 3D ray kernel,
-  stochastic variants) gets a correct backward for free; only the blend
-  recurrence is hand-transposed.
+  (the FTB early-out of threedgs_raster.frag.slang:299-346; the sorted loop
+  is deterministic — no fragment interlock).
+- **Backward is a single forward-order sweep**: S_total = rgb_out.g_rgb from
+  the saved forward output turns the back-to-front gradient walk into a
+  prefix sum; response gradients come from in-kernel ``jax.vjp`` of the
+  model's alpha function, so new response models get gradients for free.
+  d_attrs blocks are read-modify-write accumulated (a zero-fill grid phase
+  runs first) because boundary blocks receive gradients from two tiles.
 
-Per-tile pixel context (gut3d): camera rays ride an HBM array (T, 8, 256)
-(rows RAY_* of response.py), DMA'd + transposed to (256, 8) once per tile.
-Output per tile: (8, 256) block (channels in sublanes, pixels in lanes —
-HBM minor dims below 128 get padded and misalign DMA): rows 0..2 rgb, row 3
-transmittance, rows 4..7 reserved (picked depth / splat id / normal aux).
+Per-tile pixel context (gut3d / clip models): (T, 8, 256) HBM array
+(rows RAY_* / PIX_DEPTH_LIMIT of response.py), DMA'd + transposed per tile.
+Output per tile: (8, 256) block (channels in sublanes, pixels in lanes — HBM
+minor dims below 128 get padded and misalign DMA): rows 0-2 rgb, row 3
+transmittance, rows 4-5 picked depth + splat id (or rows 4-7 multi-iso
+depths for deep shadow maps).
 """
 
 from __future__ import annotations
@@ -81,7 +75,7 @@ NUM_ATTRS = 16
 
 TILE = 16
 PIX = TILE * TILE  # 256 pixels per tile
-OUT_COLS = 8       # rgb, T, 4 reserved
+OUT_COLS = 8       # rgb, T, 4 aux
 
 # backward context rows (per tile, built in XLA from fwd out + cotangents)
 CTX_GR, CTX_GG, CTX_GB, CTX_STOTAL, CTX_GTTN = 0, 1, 2, 3, 4
@@ -102,7 +96,6 @@ class RasterStatics:
     kernel_degree: int = 2         # gut3d generalized-gaussian degree
     kernel_min_response: float = 0.0113
     depth_iso: float = 0.7         # depth-pick transmittance threshold
-                                   # (prmRaster.depthIsoThreshold)
     stochastic: bool = False       # STOCHASTIC_SPLAT (frag.slang:265-290)
     multi_iso: bool = False        # 4 depth picks -> deep shadow map rows 4-7
     iso_thresholds: tuple = (0.75, 0.5, 0.25, 0.05)
@@ -150,8 +143,8 @@ def _tile_pixel_coords(t: jax.Array, tiles_x: int):
 
 def _hash_uniform(key, shape) -> jax.Array:
     """Deterministic uniforms in [0,1) from (key, sublane, lane) via an
-    xxhash32-flavoured integer mix (pure VPU ALU; no pltpu PRNG so the same
-    stream exists under CPU interpret)."""
+    xxhash32-flavoured integer mix (pure VPU ALU; identical stream under CPU
+    interpret and Mosaic)."""
     pixv = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     lanev = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     h = (pixv * jnp.uint32(0x9E3779B1)
@@ -167,19 +160,16 @@ def _hash_uniform(key, shape) -> jax.Array:
     return h24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
-def _alpha_closure(st: RasterStatics, pix, px, py, n_remaining, rng_key=None):
+def _alpha_closure(st: RasterStatics, pix, px, py, lo, hi, rng_key=None):
     alpha_fn = ALPHA_FNS[st.model]
 
     def f(block):
-        live = (jax.lax.broadcasted_iota(jnp.int32, (1, block.shape[1]), 1)
-                < n_remaining)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, block.shape[1]), 1)
+        live = (lane >= lo) & (lane < hi)
         alpha = alpha_fn(block, pix, px, py, live, st)
         if st.stochastic:
             # STOCHASTIC_SPLAT: binary accept with p = alpha; accepted splats
-            # become opaque (threedgs_raster.frag.slang:265-290). Counter-based
-            # xxhash-style stream keyed on (sample seed, chunk, pixel, lane) —
-            # the shader's xxhash32(fragCoord, splatId, sampleId) analog,
-            # identical under interpret and Mosaic.
+            # become opaque (threedgs_raster.frag.slang:265-290).
             u = _hash_uniform(rng_key, alpha.shape)
             alpha = jnp.where((u < alpha) & (alpha > 0.0), 1.0, 0.0)
         return alpha
@@ -187,50 +177,74 @@ def _alpha_closure(st: RasterStatics, pix, px, py, n_remaining, rng_key=None):
     return f
 
 
+def _attrs_copy(attrs_ref, scratch, sem, b, c):
+    return pltpu.make_async_copy(
+        attrs_ref.at[:, pl.ds(pl.multiple_of(b * c, 128), c)], scratch, sem)
+
+
 def _make_fwd_kernel(st: RasterStatics):
     c = st.chunk
     uses_pix = USES_PIX_CTX[st.model]
-
     drow = DEPTH_ROW[st.model]
     idrow = ID_ROW[st.model]
 
-    def kernel(seed_ref, tile_ref, rank_ref, last_ref, counts_ref, attrs_ref,
-               *rest):
+    def kernel(seed_ref, word_ref, block_ref, attrs_ref, *rest):
         if uses_pix:
             (pixctx_ref, out_ref, acc, t_col, pick_d, pick_id, outbuf,
-             pixraw, pixscr, sem, psem) = rest
+             ablock, pixraw, pixscr, sem, osem, psem) = rest
         else:
-            (out_ref, acc, t_col, pick_d, pick_id, outbuf, sem) = rest
+            (out_ref, acc, t_col, pick_d, pick_id, outbuf, ablock,
+             sem, osem) = rest
             pixscr = None
         j = pl.program_id(0)
-        t = tile_ref[j]
-        k = rank_ref[j]
+        n_steps = pl.num_programs(0)
+        word = word_ref[j]
+        traw = word >> 17
+        t = jnp.where(traw == 0x3FFF, -1, traw)
+        lo = (word >> 10) & 0x7F
+        hi = (word >> 2) & 0xFF
+        is_first = (word >> 1) & 1
+        is_last = word & 1
+        b = block_ref[j]
         px, py = _tile_pixel_coords(t, st.tiles_x)
-        rng_key = seed_ref[0] + j if st.stochastic else None
+        rng_key = seed_ref[0] + b if st.stochastic else None
 
-        n_iso = len(st.iso_thresholds) if st.multi_iso else 1
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when((j == 0) & (t >= 0))
+        def _warmup():
+            _attrs_copy(attrs_ref, ablock.at[0], sem.at[0], b, c).start()
+
+        nxt = jnp.minimum(j + 1, n_steps - 1)
+
+        @pl.when((j + 1 < n_steps) & ((word_ref[nxt] >> 17) != 0x3FFF))
+        def _prefetch():
+            _attrs_copy(attrs_ref, ablock.at[1 - slot], sem.at[1 - slot],
+                        block_ref[nxt], c).start()
 
         @pl.when(t >= 0)
         def _process():
-            @pl.when(k == 0)
+            _attrs_copy(attrs_ref, ablock.at[slot], sem.at[slot], b, c).wait()
+
+            @pl.when(is_first > 0)
             def _reset():
                 acc[:, :] = jnp.zeros((PIX, 3), jnp.float32)
                 t_col[:, :] = jnp.ones((PIX, 1), jnp.float32)
                 pick_d[:, :] = jnp.full((PIX, 4), 1e30, jnp.float32)
                 pick_id[:, :] = jnp.full((PIX, 1), -1.0, jnp.float32)
                 if uses_pix:
-                    copy = pltpu.make_async_copy(pixctx_ref.at[t], pixraw, psem)
+                    copy = pltpu.make_async_copy(pixctx_ref.at[t], pixraw,
+                                                 psem)
                     copy.start()
                     copy.wait()
                     pixscr[:, :] = jnp.transpose(pixraw[:, :])
 
-            n_remaining = counts_ref[t] - k * c
-
             @pl.when(jnp.max(t_col[:, :]) > st.min_transmittance)
             def _blend():
-                block = attrs_ref[:, :]
+                block = ablock[slot]
                 pix = pixscr[:, :] if uses_pix else None
-                alpha = _alpha_closure(st, pix, px, py, n_remaining, rng_key)(block)
+                alpha = _alpha_closure(st, pix, px, py, lo, hi,
+                                       rng_key)(block)
                 q = 1.0 - alpha
                 excl = _cumprod_exclusive(q)
                 tc = t_col[:, :]
@@ -241,12 +255,9 @@ def _make_fwd_kernel(st: RasterStatics):
                     preferred_element_type=jnp.float32,
                 )                                              # (256, 3)
 
-                # depth picking: first splat (FTB order) after which the
-                # running transmittance drops below each iso threshold
-                # (threedgs_raster.frag.slang:325-346). Normal mode: one
-                # threshold + the picked splat id for material lookup;
-                # multi_iso mode: 4 thresholds forming a deep-shadow-map
-                # transmittance staircase.
+                # depth picking at the iso thresholds
+                # (threedgs_raster.frag.slang:325-346); multi_iso records the
+                # deep-shadow-map staircase instead of (depth, id).
                 t_after = tc * excl * q                        # (256, C)
                 lane = jax.lax.broadcasted_iota(
                     jnp.int32, (1, c), 1) * jnp.ones((PIX, 1), jnp.int32)
@@ -273,11 +284,8 @@ def _make_fwd_kernel(st: RasterStatics):
 
                 t_col[:, :] = tc * excl[:, c - 1:c] * q[:, c - 1:c]
 
-            @pl.when(last_ref[j] > 0)
+            @pl.when(is_last > 0)
             def _flush():
-                # per-tile output rides as (OUT_COLS, 256): HBM minor dims
-                # < 128 are padded and their DMA slices misalign, so channels
-                # go in sublanes, pixels in lanes.
                 pd = jnp.where(pick_d[:, :] > 1e29, 0.0, pick_d[:, :])
                 if st.multi_iso:
                     aux = jnp.transpose(pd)                      # rows 4-7
@@ -290,242 +298,271 @@ def _make_fwd_kernel(st: RasterStatics):
                     [jnp.transpose(acc[:, :]), jnp.transpose(t_col[:, :]),
                      aux], axis=0
                 )
-                copy = pltpu.make_async_copy(outbuf, out_ref.at[t], sem)
+                copy = pltpu.make_async_copy(outbuf, out_ref.at[t], osem)
                 copy.start()
                 copy.wait()
 
     return kernel
 
 
-def _make_bwd_kernel(st: RasterStatics):
+def _make_bwd_kernel(st: RasterStatics, n_blocks: int):
     c = st.chunk
     uses_pix = USES_PIX_CTX[st.model]
 
-    def kernel(seed_ref, tile_ref, rank_ref, counts_ref, attrs_ref,
-               ctx_hbm_ref, *rest):
+    def kernel(seed_ref, word_ref, block_ref, attrs_ref, ctx_hbm_ref, *rest):
         if uses_pix:
-            (pixctx_ref, dattrs_ref, t_col, s_run, ctx,
-             pixraw, pixscr, sem, psem) = rest
+            (pixctx_ref, dattrs_ref, t_col, s_run, ctx, ablock, dblock,
+             pixraw, pixscr, sem, dsem, psem) = rest
         else:
-            dattrs_ref, t_col, s_run, ctx, sem = rest
+            (dattrs_ref, t_col, s_run, ctx, ablock, dblock, sem,
+             dsem) = rest
             pixscr = None
-        j = pl.program_id(0)
-        t = tile_ref[j]
-        k = rank_ref[j]
-        px, py = _tile_pixel_coords(t, st.tiles_x)
-        # the same counter-based stream as the forward so recomputed alphas
-        # match the rendered ones exactly
-        rng_key = seed_ref[0] + j if st.stochastic else None
+        g = pl.program_id(0)
 
-        @pl.when((t >= 0) & (k == 0))
-        def _reset():
-            t_col[:, :] = jnp.ones((PIX, 1), jnp.float32)
-            s_run[:, :] = jnp.zeros((PIX, 1), jnp.float32)
-            copy = pltpu.make_async_copy(ctx_hbm_ref.at[t], ctx, sem)
+        # ---- phase 1: zero-fill d_attrs (base for RMW accumulation) --------
+        @pl.when(g < n_blocks)
+        def _zero():
+            dblock[:, :] = jnp.zeros((NUM_ATTRS, c), jnp.float32)
+            copy = pltpu.make_async_copy(
+                dblock,
+                dattrs_ref.at[:, pl.ds(pl.multiple_of(g * c, 128), c)], dsem)
             copy.start()
             copy.wait()
-            if uses_pix:
-                copy2 = pltpu.make_async_copy(pixctx_ref.at[t], pixraw, psem)
-                copy2.start()
-                copy2.wait()
-                pixscr[:, :] = jnp.transpose(pixraw[:, :])
 
-        n_remaining = jnp.where(t >= 0, counts_ref[jnp.maximum(t, 0)], 0) - k * c
-        computing = (t >= 0) & (jnp.max(t_col[:, :]) > st.min_transmittance)
+        # ---- phase 2: schedule steps ---------------------------------------
+        j = jnp.maximum(g - n_blocks, 0)
+        word = word_ref[j]
+        traw = word >> 17
+        t = jnp.where(traw == 0x3FFF, -1, traw)
+        lo = (word >> 10) & 0x7F
+        hi = (word >> 2) & 0xFF
+        is_first = (word >> 1) & 1
+        b = block_ref[j]
+        px, py = _tile_pixel_coords(t, st.tiles_x)
+        rng_key = seed_ref[0] + b if st.stochastic else None
 
-        # Always write the full gradient block (skipped chunks => zero grads).
-        block = attrs_ref[:, :]
-        pix = pixscr[:, :] if uses_pix else None
-        alpha_f = _alpha_closure(st, pix, px, py, n_remaining, rng_key)
-        alpha, alpha_vjp = jax.vjp(alpha_f, block)
-        q = 1.0 - alpha
-        excl = _cumprod_exclusive(q)
-        tc = t_col[:, :]
-        t_k = excl * tc
-        w = alpha * t_k
-        g_rgb_t = ctx[0:3, :]                                 # (3, 256)
-        s_total = jnp.transpose(ctx[CTX_STOTAL:CTX_STOTAL + 1, :])  # (256, 1)
-        gt_tn = jnp.transpose(ctx[CTX_GTTN:CTX_GTTN + 1, :])        # (256, 1)
-        cols = block[ATTR_R:ATTR_B + 1, :]
-        cg = jax.lax.dot_general(
-            g_rgb_t, cols, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                     # (256, C)
-        wcg = w * cg
-        s_incl = s_run[:, :] + _cumsum_inclusive(wcg)         # sum_{j<=k}
-        suffix = s_total - s_incl                             # sum_{j>k}
-        qsafe = jnp.maximum(q, 1.0 - st.alpha_clamp)
-        dalpha = t_k * cg - (suffix + gt_tn) / qsafe
-        dalpha = jnp.where(computing, dalpha, 0.0)
+        @pl.when((g >= n_blocks) & (t >= 0))
+        def _step():
+            acopy = _attrs_copy(attrs_ref, ablock, sem, b, c)
+            acopy.start()
+            acopy.wait()
 
-        (d_block,) = alpha_vjp(dalpha)
-        wmask = jnp.where(computing, w, 0.0)
-        dcol = jax.lax.dot_general(
-            g_rgb_t, wmask, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                          # (3,C)
-        # Mosaic has no scatter-add; splice the color-gradient rows in with
-        # static slices.
-        dattrs_ref[:, :] = jnp.concatenate(
-            [d_block[:ATTR_R, :], d_block[ATTR_R:ATTR_B + 1, :] + dcol,
-             d_block[ATTR_B + 1:, :]], axis=0)
+            @pl.when(is_first > 0)
+            def _reset():
+                t_col[:, :] = jnp.ones((PIX, 1), jnp.float32)
+                s_run[:, :] = jnp.zeros((PIX, 1), jnp.float32)
+                ccopy = pltpu.make_async_copy(ctx_hbm_ref.at[t], ctx, dsem)
+                ccopy.start()
+                ccopy.wait()
+                if uses_pix:
+                    pcopy = pltpu.make_async_copy(pixctx_ref.at[t], pixraw,
+                                                  psem)
+                    pcopy.start()
+                    pcopy.wait()
+                    pixscr[:, :] = jnp.transpose(pixraw[:, :])
 
-        @pl.when(computing)
-        def _advance():
-            t_col[:, :] = tc * excl[:, c - 1:c] * q[:, c - 1:c]
-            s_run[:, :] = s_run[:, :] + jnp.sum(wcg, axis=1, keepdims=True)
+            @pl.when(jnp.max(t_col[:, :]) > st.min_transmittance)
+            def _grads():
+                block = ablock[:, :]
+                pix = pixscr[:, :] if uses_pix else None
+                alpha_f = _alpha_closure(st, pix, px, py, lo, hi, rng_key)
+                alpha, alpha_vjp = jax.vjp(alpha_f, block)
+                q = 1.0 - alpha
+                excl = _cumprod_exclusive(q)
+                tc = t_col[:, :]
+                t_k = excl * tc
+                w = alpha * t_k
+                g_rgb_t = ctx[0:3, :]                             # (3, 256)
+                s_total = jnp.transpose(ctx[CTX_STOTAL:CTX_STOTAL + 1, :])
+                gt_tn = jnp.transpose(ctx[CTX_GTTN:CTX_GTTN + 1, :])
+                cols = block[ATTR_R:ATTR_B + 1, :]
+                cg = jax.lax.dot_general(
+                    g_rgb_t, cols, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                                 # (256, C)
+                wcg = w * cg
+                s_incl = s_run[:, :] + _cumsum_inclusive(wcg)
+                suffix = s_total - s_incl
+                qsafe = jnp.maximum(q, 1.0 - st.alpha_clamp)
+                dalpha = t_k * cg - (suffix + gt_tn) / qsafe
+
+                (d_block,) = alpha_vjp(dalpha)
+                dcol = jax.lax.dot_general(
+                    g_rgb_t, w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                                  # (3,C)
+                d_full = jnp.concatenate(
+                    [d_block[:ATTR_R, :], d_block[ATTR_R:ATTR_B + 1, :] + dcol,
+                     d_block[ATTR_B + 1:, :]], axis=0)
+
+                # RMW accumulate into the (possibly shared) d_attrs block
+                rcopy = pltpu.make_async_copy(
+                    dattrs_ref.at[:, pl.ds(pl.multiple_of(b * c, 128), c)],
+                    dblock, dsem)
+                rcopy.start()
+                rcopy.wait()
+                dblock[:, :] = dblock[:, :] + d_full
+                wcopy = pltpu.make_async_copy(
+                    dblock,
+                    dattrs_ref.at[:, pl.ds(pl.multiple_of(b * c, 128), c)],
+                    dsem)
+                wcopy.start()
+                wcopy.wait()
+
+                t_col[:, :] = tc * excl[:, c - 1:c] * q[:, c - 1:c]
+                s_run[:, :] = s_run[:, :] + jnp.sum(wcg, axis=1, keepdims=True)
 
     return kernel
 
 
-def _pix_specs_and_scratch(st: RasterStatics):
-    specs = [pl.BlockSpec(memory_space=pltpu.HBM)]  # pix ctx (T, 8, 256)
-    scratch = [
-        pltpu.VMEM((OUT_COLS, PIX), jnp.float32),   # pixraw (as stored)
-        pltpu.VMEM((PIX, OUT_COLS), jnp.float32),   # pixscr (transposed)
-    ]
-    return specs, scratch
+def _sched_specs():
+    return [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3  # seed, word, block
 
 
 @functools.lru_cache(maxsize=64)
-def _fwd_call(st: RasterStatics, num_chunks: int):
+def _fwd_call(st: RasterStatics, p_alloc: int, s_cap: int):
     num_tiles = st.tiles_x * st.tiles_y
     uses_pix = USES_PIX_CTX[st.model]
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_tile (S,)
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_rank (S,)
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_last (S,)
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # seg_counts (T,)
-        pl.BlockSpec((NUM_ATTRS, st.chunk), lambda j: (0, j),
-                     memory_space=pltpu.VMEM),  # attrs chunk (pipelined)
-    ]
+    in_specs = _sched_specs() + [pl.BlockSpec(memory_space=pltpu.HBM)]
     scratch = [
-        pltpu.VMEM((PIX, 3), jnp.float32),        # acc
-        pltpu.VMEM((PIX, 1), jnp.float32),        # t_col
-        pltpu.VMEM((PIX, 4), jnp.float32),        # pick_d (up to 4 isos)
-        pltpu.VMEM((PIX, 1), jnp.float32),        # pick_id
+        pltpu.VMEM((PIX, 3), jnp.float32),         # acc
+        pltpu.VMEM((PIX, 1), jnp.float32),         # t_col
+        pltpu.VMEM((PIX, 4), jnp.float32),         # pick_d
+        pltpu.VMEM((PIX, 1), jnp.float32),         # pick_id
         pltpu.VMEM((OUT_COLS, PIX), jnp.float32),  # outbuf
+        pltpu.VMEM((2, NUM_ATTRS, st.chunk), jnp.float32),  # ablock x2
     ]
     if uses_pix:
-        ps, sc = _pix_specs_and_scratch(st)
-        in_specs += ps
-        scratch += sc
-        scratch += [pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(())]
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))  # pix ctx
+        scratch += [
+            pltpu.VMEM((OUT_COLS, PIX), jnp.float32),   # pixraw
+            pltpu.VMEM((PIX, OUT_COLS), jnp.float32),   # pixscr
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ]
     else:
-        scratch += [pltpu.SemaphoreType.DMA(())]
+        scratch += [
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ]
     return pl.pallas_call(
         _make_fwd_kernel(st),
-        grid=(num_chunks,),
+        grid=(s_cap,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=scratch,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, OUT_COLS, PIX), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, OUT_COLS, PIX),
+                                       jnp.float32),
         interpret=st.interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
 
 
 @functools.lru_cache(maxsize=64)
-def _bwd_call(st: RasterStatics, num_chunks: int):
+def _bwd_call(st: RasterStatics, p_alloc: int, s_cap: int):
     uses_pix = USES_PIX_CTX[st.model]
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_tile (S,)
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_rank (S,)
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # seg_counts (T,)
-        pl.BlockSpec((NUM_ATTRS, st.chunk), lambda j: (0, j),
-                     memory_space=pltpu.VMEM),  # attrs chunk (pipelined)
+    n_blocks = p_alloc // st.chunk
+    in_specs = _sched_specs() + [
+        pl.BlockSpec(memory_space=pltpu.HBM),   # attrs
         pl.BlockSpec(memory_space=pltpu.HBM),   # bwd ctx (T, 8, 256)
     ]
     scratch = [
-        pltpu.VMEM((PIX, 1), jnp.float32),        # t_col
-        pltpu.VMEM((PIX, 1), jnp.float32),        # s_run
-        pltpu.VMEM((OUT_COLS, PIX), jnp.float32),  # ctx tile block
+        pltpu.VMEM((PIX, 1), jnp.float32),          # t_col
+        pltpu.VMEM((PIX, 1), jnp.float32),          # s_run
+        pltpu.VMEM((OUT_COLS, PIX), jnp.float32),   # ctx tile block
+        pltpu.VMEM((NUM_ATTRS, st.chunk), jnp.float32),  # ablock
+        pltpu.VMEM((NUM_ATTRS, st.chunk), jnp.float32),  # dblock
     ]
     if uses_pix:
-        ps, sc = _pix_specs_and_scratch(st)
-        in_specs += ps
-        scratch += sc
-        scratch += [pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(())]
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))  # pix ctx
+        scratch += [
+            pltpu.VMEM((OUT_COLS, PIX), jnp.float32),   # pixraw
+            pltpu.VMEM((PIX, OUT_COLS), jnp.float32),   # pixscr
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ]
     else:
-        scratch += [pltpu.SemaphoreType.DMA(())]
+        scratch += [
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ]
     return pl.pallas_call(
-        _make_bwd_kernel(st),
-        grid=(num_chunks,),
+        _make_bwd_kernel(st, n_blocks),
+        grid=(n_blocks + s_cap,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((NUM_ATTRS, st.chunk), lambda j: (0, j),
-                               memory_space=pltpu.VMEM),  # d_attrs chunk
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=scratch,
-        out_shape=jax.ShapeDtypeStruct(
-            (NUM_ATTRS, num_chunks * st.chunk), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NUM_ATTRS, p_alloc), jnp.float32),
         interpret=st.interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7,))
-def rasterize_tiles(attrs: jax.Array, chunk_tile: jax.Array,
-                    chunk_rank: jax.Array, chunk_last: jax.Array,
-                    seg_counts: jax.Array, pix_ctx, seed,
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def rasterize_tiles(attrs: jax.Array, sched_word, sched_block, pix_ctx, seed,
                     st: RasterStatics):
     """Blend sorted pair attrs into per-tile (8, 256) outputs.
 
-    attrs: (16, P) f32 pair-ordered (rows per st.model — ops/response.py);
-      P = num_chunks * st.chunk with chunk-aligned tile segments (binning).
-    chunk_tile/rank/last: (S,) i32 chunk schedule (tile id or -1, in-tile rank,
-      last-chunk-of-tile flag).
-    seg_counts: (T,) i32 true per-tile pair counts.
-    pix_ctx: (T, 8, 256) per-tile pixel rays for gut3d models; None for gs2d.
-    Returns (T, 8, 256): rows 0-2 rgb, row 3 transmittance. Tiles with zero
-    pairs are NOT written — callers must mask with seg_counts (render pipeline
-    does).
+    attrs: (16, P) f32 pair-ordered (rows per st.model — ops/response.py),
+      P a multiple of st.chunk.
+    sched_word/sched_block: (S,) i32 packed blend schedule (ops/binning.py).
+    pix_ctx: (T, 8, 256) per-tile pixel context (gut3d/clip models) or None.
+    seed: (1,) i32 stochastic sample seed or None.
+    Returns (T, 8, 256): rows 0-2 rgb, row 3 transmittance, 4-7 aux. Tiles
+    with zero pairs are NOT written — callers mask with seg_counts
+    (assemble_image does).
     """
-    num_chunks = attrs.shape[1] // st.chunk
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
-    args = [seed, chunk_tile, chunk_rank, chunk_last, seg_counts, attrs]
+    args = [seed, sched_word, sched_block, attrs]
     if USES_PIX_CTX[st.model]:
         args.append(pix_ctx)
-    return _fwd_call(st, num_chunks)(*args)
+    return _fwd_call(st, attrs.shape[1], sched_word.shape[0])(*args)
 
 
-def _rt_fwd(attrs, chunk_tile, chunk_rank, chunk_last, seg_counts, pix_ctx,
-            seed, st):
-    out = rasterize_tiles(attrs, chunk_tile, chunk_rank, chunk_last,
-                          seg_counts, pix_ctx, seed, st)
-    return out, (attrs, chunk_tile, chunk_rank, seg_counts, pix_ctx, seed, out)
+def _rt_fwd(attrs, sched_word, sched_block, pix_ctx, seed, st):
+    out = rasterize_tiles(attrs, sched_word, sched_block, pix_ctx, seed, st)
+    return out, (attrs, sched_word, sched_block, pix_ctx, seed, out)
 
 
 def _rt_bwd(st, res, g):
-    attrs, chunk_tile, chunk_rank, seg_counts, pix_ctx, seed, out = res
-    # Backward context per tile, from the saved forward output:
-    #   S_total = rgb_out . g_rgb   (sum_j w_j (c_j.g) — no extra sweep)
-    #   gt_tn   = g_T * T_final
-    g_rgb = g[:, 0:3, :]                                      # (T, 3, 256)
+    (attrs, sched_word, sched_block, pix_ctx, seed, out) = res
+    # Backward context per tile from the saved forward output:
+    #   S_total = rgb_out . g_rgb ; gt_tn = g_T * T_final
+    g_rgb = g[:, 0:3, :]
     s_total = jnp.sum(out[:, 0:3, :] * g_rgb, axis=1, keepdims=True)
     gt_tn = g[:, 3:4, :] * out[:, 3:4, :]
     pad = jnp.zeros((g.shape[0], OUT_COLS - 5, PIX), jnp.float32)
     ctx = jnp.concatenate([g_rgb, s_total, gt_tn, pad], axis=1)
-    # empty tiles are never loaded by the kernel but NaNs in unwritten fwd
-    # output must not poison the context
-    live_tile = (seg_counts > 0)[:, None, None]
-    ctx = jnp.where(live_tile, ctx, 0.0)
+    # unwritten (empty) tiles may hold garbage in the fwd output; idle steps
+    # alias tile 0 after the max(), so accumulate instead of .set
+    traw = sched_word >> 17
+    tile_of = jnp.where(traw == 0x3FFF, -1, traw)
+    written = jnp.zeros((g.shape[0],), jnp.int32).at[
+        jnp.maximum(tile_of, 0)].add((tile_of >= 0).astype(jnp.int32))
+    ctx = jnp.where((written > 0)[:, None, None], ctx, 0.0)
 
-    num_chunks = attrs.shape[1] // st.chunk
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
-    args = [seed, chunk_tile, chunk_rank, seg_counts, attrs, ctx]
+    args = [seed, sched_word, sched_block, attrs, ctx]
     if USES_PIX_CTX[st.model]:
         args.append(pix_ctx)
-    d_attrs = _bwd_call(st, num_chunks)(*args)
+    d_attrs = _bwd_call(st, attrs.shape[1], sched_word.shape[0])(*args)
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
     d_pix = None if pix_ctx is None else jnp.zeros_like(pix_ctx)
-    d_seed = None if res[5] is None else f0(seed)
-    return (d_attrs, f0(chunk_tile), f0(chunk_rank),
-            f0(chunk_tile), f0(seg_counts), d_pix, d_seed)
+    d_seed = None if res[4] is None else f0(seed)
+    return (d_attrs, f0(sched_word), f0(sched_block), d_pix, d_seed)
 
 
 rasterize_tiles.defvjp(_rt_fwd, _rt_bwd)
+
+
+def rasterize_bins(bins, pix_ctx, seed, st: RasterStatics):
+    """Convenience wrapper over a TileBins schedule."""
+    return rasterize_tiles(bins.attrs, bins.sched_word, bins.sched_block,
+                           pix_ctx, seed, st)
 
 
 def assemble_image(out: jax.Array, seg_counts: jax.Array,

@@ -113,12 +113,12 @@ def tri2d_alpha(block, pix, px, py, live, st):
     Depth is per-triangle (centroid view z): adequate for the composite
     prepass on typical meshes; interpolated z is future work.
 
-    Vertices arrive *tile-relative* (mesh_raster subtracts each pair's tile
-    origin) so the f32 edge functions evaluate on small coordinates — this
-    kills the seam holes large screen-space triangles otherwise develop along
-    shared edges; a conservative boundary tolerance (~0.05 px x edge length)
-    makes shared edges overlap instead of leaving holes, which is harmless
-    for opaque first-wins compositing.
+    Vertices re-center on the tile origin in-kernel so the f32 edge
+    functions evaluate on small coordinates — this kills the seam holes large
+    screen-space triangles otherwise develop along shared edges; a
+    conservative boundary tolerance (~0.05 px x edge length) makes shared
+    edges overlap instead of leaving holes, which is harmless for opaque
+    first-wins compositing.
     """
     x0 = block[TRI_X0:TRI_X0 + 1, :]
     y0 = block[TRI_Y0:TRI_Y0 + 1, :]
@@ -127,9 +127,19 @@ def tri2d_alpha(block, pix, px, py, live, st):
     x2 = block[TRI_X2:TRI_X2 + 1, :]
     y2 = block[TRI_Y2:TRI_Y2 + 1, :]
 
-    # tile-local pixel coordinates (pixel centers at tile_origin + i + 0.5)
+    # tile-local pixel coordinates (pixel centers at tile_origin + i + 0.5);
+    # vertices arrive absolute and re-center on the tile origin here, so the
+    # f32 edge functions evaluate on small coordinates
     lx = px - 16.0 * jnp.floor(px / 16.0)
     ly = py - 16.0 * jnp.floor(py / 16.0)
+    ox = px - lx
+    oy = py - ly
+    x0 = x0 - ox
+    y0 = y0 - oy
+    x1 = x1 - ox
+    y1 = y1 - oy
+    x2 = x2 - ox
+    y2 = y2 - oy
 
     e0 = (x1 - x0) * (ly - y0) - (y1 - y0) * (lx - x0)
     e1 = (x2 - x1) * (ly - y1) - (y2 - y1) * (lx - x1)

@@ -31,13 +31,16 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vk_gaussian_splatting_tpu.config import RenderConfig, tiles_x, tiles_y
-from vk_gaussian_splatting_tpu.ops.binning import bin_splats
 from vk_gaussian_splatting_tpu.ops.projection import ProjectedSplats, project_splats
 from vk_gaussian_splatting_tpu.ops.rasterize_pallas import (
     assemble_image,
-    rasterize_tiles,
+    rasterize_bins,
 )
-from vk_gaussian_splatting_tpu.render.pipelines import build_pair_attrs, raster_statics
+from vk_gaussian_splatting_tpu.render.pipelines import (
+    bin_for_cfg,
+    gs_attr_rows,
+    raster_statics,
+)
 from vk_gaussian_splatting_tpu.scene.cameras import Camera
 from vk_gaussian_splatting_tpu.scene.splat_set import SplatSet, prepare_splats
 
@@ -60,18 +63,10 @@ def _render_band(proj: ProjectedSplats, cfg: RenderConfig, max_pairs: int,
 
     shifted = dataclasses.replace(
         proj, xy=proj.xy - jnp.stack([jnp.zeros((), jnp.float32), y_off]))
-    bins = bin_splats(
-        shifted,
-        tile_size=cfg.raster.tile_size,
-        tiles_x=tiles_x(cfg),
-        tiles_y=ty_local,
-        max_pairs=max_pairs,
-        chunk=cfg.raster.chunk,
-    )
-    attrs = build_pair_attrs(shifted, bins)
+    local_cfg = cfg.replace(height=ty_local * cfg.raster.tile_size)
+    bins = bin_for_cfg(shifted, gs_attr_rows(shifted), local_cfg, max_pairs)
     st = dataclasses.replace(raster_statics(cfg, interpret), tiles_y=ty_local)
-    out = rasterize_tiles(attrs, bins.chunk_tile, bins.chunk_rank,
-                          bins.chunk_last, bins.seg_counts, None, None, st)
+    out = rasterize_bins(bins, None, None, st)
     h_local = ty_local * cfg.raster.tile_size
     img, trans = assemble_image(out, bins.seg_counts, st.tiles_x, ty_local,
                                 cfg.width, h_local, cfg.background)

@@ -73,28 +73,28 @@ def compute_splat_normals(prepared: PreparedSplats, cam_position: jax.Array,
     return n * jnp.where(flip == 0, 1.0, flip)
 
 
-def render_normal_buffer(prepared: PreparedSplats, proj, bins, cam: Camera,
-                         cfg: RenderConfig, st, pix_ctx=None) -> jax.Array:
+def render_normal_buffer(prepared: PreparedSplats, proj, cam: Camera,
+                         cfg: RenderConfig, st, max_pairs: int = 0,
+                         pix_ctx=None, use_gut_rows: bool = False) -> jax.Array:
     """Opacity-weighted blended normal image (H,W,3) — one extra blender pass
-    with normals in the color rows (frag.slang:320-349 outNormal MRT)."""
+    with normals riding the color rows (frag.slang:320-349 outNormal MRT)."""
     from vk_gaussian_splatting_tpu.ops.rasterize_pallas import (
         assemble_image,
-        rasterize_tiles,
+        rasterize_bins,
     )
     from vk_gaussian_splatting_tpu.render.pipelines import (
-        build_gut_pair_attrs,
-        build_pair_attrs,
+        bin_for_cfg,
+        gs_attr_rows,
+        gut_attr_rows,
     )
 
     normals = compute_splat_normals(prepared, cam.position,
                                     splat_scale=cfg.splat_scale)
     proj_n = dataclasses.replace(proj, color=normals)
-    if st.model == "gs2d":
-        attrs = build_pair_attrs(proj_n, bins)
-    else:
-        attrs = build_gut_pair_attrs(prepared, proj_n, bins, cfg)
-    out = rasterize_tiles(attrs, bins.chunk_tile, bins.chunk_rank,
-                          bins.chunk_last, bins.seg_counts, pix_ctx, None, st)
+    rows = (gut_attr_rows(prepared, proj_n, cfg) if use_gut_rows
+            else gs_attr_rows(proj_n))
+    bins = bin_for_cfg(proj_n, rows, cfg, max_pairs)
+    out = rasterize_bins(bins, pix_ctx, None, st)
     nrm, trans = assemble_image(out, bins.seg_counts, st.tiles_x, st.tiles_y,
                                 cfg.width, cfg.height, (0.0, 0.0, 0.0))
     w = jnp.maximum(1.0 - trans, 1e-6)[..., None]

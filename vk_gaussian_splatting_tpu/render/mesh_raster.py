@@ -35,7 +35,7 @@ from vk_gaussian_splatting_tpu.ops.rasterize_pallas import (
     TILE,
     RasterStatics,
     assemble_image,
-    rasterize_tiles,
+    rasterize_bins,
 )
 from vk_gaussian_splatting_tpu.ops.response import (
     TRI_DEPTH,
@@ -120,31 +120,20 @@ def _project_triangles(mesh: MeshBuffers, cam: Camera, cfg: RenderConfig,
     ), tri_uv
 
 
-def _build_tri_attrs(tri_uv: jax.Array, proj: ProjectedSplats,
-                     bins: TileBins, tiles_x_: int, chunk: int) -> jax.Array:
-    ps = bins.pair_splat
-    p = ps.shape[0]
-    tuvp = tri_uv[ps]                                             # (P,3,2)
-    # tile-relative vertices: subtract each pair's tile origin so the kernel's
-    # edge functions run on small f32 values (see tri2d_alpha)
-    pair_tile = bins.chunk_tile[jnp.arange(p) // chunk]
-    safe_tile = jnp.maximum(pair_tile, 0)
-    origin = jnp.stack([(safe_tile % tiles_x_) * 16.0,
-                        (safe_tile // tiles_x_) * 16.0], -1)      # (P,2)
-    tuvp = tuvp - origin[:, None, :]
-    rows = [
-        tuvp[:, 0, 0], tuvp[:, 0, 1],
-        tuvp[:, 1, 0], tuvp[:, 1, 1],
-        tuvp[:, 2, 0], tuvp[:, 2, 1],
-        proj.color[ps, 0], proj.color[ps, 1], proj.color[ps, 2],
-        jnp.zeros((p,), jnp.float32),  # row 9 unused
-        jnp.zeros((p,), jnp.float32),  # row 10 unused
-        proj.depth[ps],                # TRI_DEPTH = 11
-        ps.astype(jnp.float32),        # TRI_ID = 12
-    ]
-    attrs = jnp.stack(rows, axis=0)
-    return jnp.concatenate(
-        [attrs, jnp.zeros((NUM_ATTRS - len(rows), p), jnp.float32)], axis=0)
+def _tri_attr_rows(tri_uv: jax.Array, proj: ProjectedSplats) -> jax.Array:
+    """(13, F) face-level rows in the tri2d layout; vertices absolute (the
+    kernel re-centers on each tile origin)."""
+    f = tri_uv.shape[0]
+    return jnp.stack([
+        tri_uv[:, 0, 0], tri_uv[:, 0, 1],
+        tri_uv[:, 1, 0], tri_uv[:, 1, 1],
+        tri_uv[:, 2, 0], tri_uv[:, 2, 1],
+        proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
+        jnp.zeros((f,), jnp.float32),  # row 9 unused
+        jnp.zeros((f,), jnp.float32),  # row 10 unused
+        proj.depth,                    # TRI_DEPTH = 11
+        jnp.arange(f, dtype=jnp.int32).astype(jnp.float32),  # TRI_ID = 12
+    ], axis=0)
 
 
 def render_mesh(mesh: MeshBuffers, cam: Camera, cfg: RenderConfig,
@@ -160,13 +149,15 @@ def render_mesh(mesh: MeshBuffers, cam: Camera, cfg: RenderConfig,
         tiles_x=tiles_x(cfg), tiles_y=tiles_y(cfg), chunk=cfg.raster.chunk,
         model="tri2d", depth_iso=0.999, interpret=interpret,
     )
+    rows = _tri_attr_rows(tri_uv, proj)
+    exact = cfg.raster.expansion == "exact"
     bins = bin_splats(
-        proj, tile_size=cfg.raster.tile_size, tiles_x=st.tiles_x,
-        tiles_y=st.tiles_y, max_pairs=max_pairs, chunk=cfg.raster.chunk)
-    attrs = _build_tri_attrs(tri_uv, proj, bins, st.tiles_x,
-                             cfg.raster.chunk)
-    out = rasterize_tiles(attrs, bins.chunk_tile, bins.chunk_rank,
-                          bins.chunk_last, bins.seg_counts, None, None, st)
+        proj, rows, tile_size=cfg.raster.tile_size, tiles_x=st.tiles_x,
+        tiles_y=st.tiles_y, chunk=cfg.raster.chunk,
+        slots_k=max(cfg.raster.slots_k, 64),  # triangles often span many tiles
+        max_pairs=max_pairs if exact else 0,
+        expansion=cfg.raster.expansion)
+    out = rasterize_bins(bins, None, None, st)
     img, trans, depth, fid = assemble_image(
         out, bins.seg_counts, st.tiles_x, st.tiles_y, cfg.width, cfg.height,
         cfg.background, with_aux=True)

@@ -6,8 +6,9 @@ gaussian_splatting.cpp:335-521): each reference pipeline becomes one jittable
 function; pipeline/config switches select the traced program (the reference's
 shader-macro recompile, SURVEY.md §3.1).
 
-3DGS raster frame = project -> bin(sort) -> tile blend, matching the
-dist+sort+raster stages of gaussian_splatting.cpp:1298-1464.
+A raster frame = project -> bin (depth presort + slot expansion + payload
+sort + blend schedule, ops/binning.py) -> tile blend (ops/rasterize_pallas),
+matching the dist+sort+raster stages of gaussian_splatting.cpp:1298-1464.
 """
 
 from __future__ import annotations
@@ -25,18 +26,10 @@ from vk_gaussian_splatting_tpu.ops.projection import (
     project_splats,
     ut_project_splats,
 )
-from vk_gaussian_splatting_tpu.ops import response as R
 from vk_gaussian_splatting_tpu.ops.rasterize_pallas import (
-    ATTR_B,
-    ATTR_CA,
-    ATTR_DEPTH,
-    ATTR_OPACITY,
-    ATTR_R,
-    ATTR_X,
-    NUM_ATTRS,
     RasterStatics,
     assemble_image,
-    rasterize_tiles,
+    rasterize_bins,
 )
 from vk_gaussian_splatting_tpu.scene.cameras import Camera
 from vk_gaussian_splatting_tpu.scene.splat_set import PreparedSplats
@@ -49,42 +42,46 @@ class RenderOutput:
     transmittance: jax.Array  # (H, W)
     depth: jax.Array          # (H, W) picked depth at T < depth_iso (0 = none)
     splat_id: jax.Array       # (H, W) i32 picked splat id (-1 = none)
-    num_pairs: jax.Array      # () i32 — pairs generated (pre-truncation)
-    overflow: jax.Array       # () bool — pair budget exceeded
+    num_pairs: jax.Array      # () i32 — live pairs
+    overflow: jax.Array       # () bool — slot/pair budget truncated coverage
 
 
-def build_pair_attrs(proj: ProjectedSplats, bins: TileBins) -> jax.Array:
-    """Gather projected splat attributes into sorted pair order: (16, P) f32.
+def gs_attr_rows(proj: ProjectedSplats) -> jax.Array:
+    """(11, N) per-splat attribute rows in the gs2d layout (ops/response.py).
+    Rows ride the binning sorts as payloads — no per-pair gathers."""
+    n = proj.xy.shape[0]
+    return jnp.stack([
+        proj.xy[:, 0], proj.xy[:, 1],
+        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+        proj.alpha,
+        proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
+        proj.depth,
+        jnp.arange(n, dtype=jnp.int32).astype(jnp.float32),  # GS_ID
+    ], axis=0)
 
-    One big XLA gather turns the tile kernel's reads into contiguous DMA —
-    the TPU answer to the reference's per-thread random buffer fetches
-    (threedgs_particle_buffers.h.slang).
-    """
-    ps = bins.pair_splat
-    p = ps.shape[0]
-    rows = [
-        proj.xy[ps, 0],
-        proj.xy[ps, 1],
-        proj.conic[ps, 0],
-        proj.conic[ps, 1],
-        proj.conic[ps, 2],
-        proj.alpha[ps],
-        proj.color[ps, 0],
-        proj.color[ps, 1],
-        proj.color[ps, 2],
-        proj.depth[ps],
-        ps.astype(jnp.float32),  # global splat id for picking / materials
-    ]
-    attrs = jnp.stack(rows, axis=0)
-    return jnp.concatenate(
-        [attrs, jnp.zeros((NUM_ATTRS - len(rows), p), jnp.float32)], axis=0
-    )
+
+def gut_attr_rows(prepared: PreparedSplats, proj: ProjectedSplats,
+                  cfg: RenderConfig) -> jax.Array:
+    """(16, N) per-splat attribute rows in the gut3d layout."""
+    n = proj.xy.shape[0]
+    quats = prepared.quats / jnp.linalg.norm(
+        prepared.quats, axis=-1, keepdims=True).clip(1e-12)
+    scl = jnp.exp(prepared.scales_log) * cfg.splat_scale
+    return jnp.stack([
+        prepared.means[:, 0], prepared.means[:, 1], prepared.means[:, 2],
+        scl[:, 0], scl[:, 1], scl[:, 2],
+        proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
+        quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3],
+        proj.alpha,
+        proj.depth,
+        jnp.arange(n, dtype=jnp.int32).astype(jnp.float32),  # GUT_ID
+    ], axis=0)
 
 
 def raster_statics(cfg: RenderConfig, interpret: bool | None = None) -> RasterStatics:
+    from vk_gaussian_splatting_tpu.config import StochasticMode
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    from vk_gaussian_splatting_tpu.config import StochasticMode
     return RasterStatics(
         tiles_x=tiles_x(cfg),
         tiles_y=tiles_y(cfg),
@@ -98,102 +95,78 @@ def raster_statics(cfg: RenderConfig, interpret: bool | None = None) -> RasterSt
     )
 
 
+def bin_for_cfg(proj, rows, cfg: RenderConfig, max_pairs: int,
+                depth_override=None) -> TileBins:
+    if depth_override is not None:
+        proj = dataclasses.replace(proj, depth=depth_override)
+    exact = cfg.raster.expansion == "exact"
+    return bin_splats(
+        proj, rows,
+        tile_size=cfg.raster.tile_size,
+        tiles_x=tiles_x(cfg), tiles_y=tiles_y(cfg),
+        chunk=cfg.raster.chunk,
+        slots_k=cfg.raster.slots_k,
+        max_pairs=max_pairs if exact else 0,
+        expansion=cfg.raster.expansion,
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "max_pairs", "interpret"))
 def render_3dgs(
     prepared: PreparedSplats,
     cam: Camera,
     cfg: RenderConfig,
-    max_pairs: int,
+    max_pairs: int = 0,
     interpret: bool | None = None,
     host_order: jax.Array | None = None,
 ) -> RenderOutput:
     """3DGS raster pipeline (PIPELINE_VERT / PIPELINE_MESH).
 
     host_order: optional (N,) i32 presorted splat permutation from the CPU
-    sorting path (io.async_loader.AsyncHostSorter) — replaces the on-device
-    depth sort keys with the host rank (SortMethod.HOST parity; the order may
-    be one camera-move stale, exactly like the reference's lazy CPU sort)."""
+    sorting path (SortMethod.HOST parity; may be one camera-move stale like
+    the reference's lazy CPU sort)."""
     if cfg.raster.tile_size != 16:
         raise ValueError("pallas raster path requires tile_size == 16")
     proj = project_splats(prepared, cam, cfg)
     depth_override = None
     if host_order is not None:
         n = host_order.shape[0]
-        rank = jnp.zeros((n,), jnp.float32).at[host_order].set(
+        depth_override = jnp.zeros((n,), jnp.float32).at[host_order].set(
             jnp.arange(n, dtype=jnp.float32))
-        depth_override = rank
-    bins = bin_splats(
-        proj,
-        tile_size=cfg.raster.tile_size,
-        tiles_x=tiles_x(cfg),
-        tiles_y=tiles_y(cfg),
-        max_pairs=max_pairs,
-        chunk=cfg.raster.chunk,
-        front_to_back=True,
-        depth_override=depth_override,
-    )
-    attrs = build_pair_attrs(proj, bins)
+    bins = bin_for_cfg(proj, gs_attr_rows(proj), cfg, max_pairs,
+                       depth_override)
     st = raster_statics(cfg, interpret)
     samples = max(cfg.temporal_samples, 1) if st.stochastic else 1
-    accum = None
+    img = trans = depth = splat_id = None
     for sample in range(samples):
         seed = jnp.full((1,), sample * 7919 + 1, jnp.int32)
-        out = rasterize_tiles(attrs, bins.chunk_tile, bins.chunk_rank,
-                              bins.chunk_last, bins.seg_counts, None, seed, st)
+        out = rasterize_bins(bins, None, seed, st)
         res = assemble_image(out, bins.seg_counts, st.tiles_x, st.tiles_y,
                              cfg.width, cfg.height, cfg.background,
                              with_aux=True)
-        accum = res if accum is None else tuple(
-            a + b for a, b in zip(accum, res[:2])) + res[2:]
-    img, trans, depth, splat_id = accum
+        img = res[0] if img is None else img + res[0]
+        trans = res[1] if trans is None else trans + res[1]
+        if depth is None:
+            depth, splat_id = res[2], res[3]
     return RenderOutput(
         image=img / samples if samples > 1 else img,
         transmittance=trans / samples if samples > 1 else trans,
-        depth=depth,
-        splat_id=splat_id,
-        num_pairs=bins.num_pairs,
-        overflow=bins.overflow,
+        depth=depth, splat_id=splat_id,
+        num_pairs=bins.num_pairs, overflow=bins.overflow,
     )
 
 
-def build_gut_pair_attrs(prepared: PreparedSplats, proj: ProjectedSplats,
-                         bins: TileBins, cfg: RenderConfig) -> jax.Array:
-    """(16, P) pair attributes in the gut3d row layout (ops/response.py)."""
-    ps = bins.pair_splat
-    p = ps.shape[0]
-    quats = prepared.quats / jnp.linalg.norm(
-        prepared.quats, axis=-1, keepdims=True).clip(1e-12)
-    scl = jnp.exp(prepared.scales_log) * cfg.splat_scale
-    rows = [
-        prepared.means[ps, 0], prepared.means[ps, 1], prepared.means[ps, 2],
-        scl[ps, 0], scl[ps, 1], scl[ps, 2],
-        proj.color[ps, 0], proj.color[ps, 1], proj.color[ps, 2],
-        quats[ps, 0], quats[ps, 1], quats[ps, 2], quats[ps, 3],
-        proj.alpha[ps],
-        proj.depth[ps],
-        ps.astype(jnp.float32),  # global splat id
-    ]
-    attrs = jnp.stack(rows, axis=0)
-    return jnp.concatenate(
-        [attrs, jnp.zeros((NUM_ATTRS - len(rows), p), jnp.float32)], axis=0
-    )
-
-
-def _blend_samples(attrs, bins, cam, cfg, st):
-    """Run the blender over temporal samples (DoF / stochastic) and average
-    image+transmittance (post.comp.slang temporal accumulation); aux picks
-    come from the first sample."""
+def _blend_samples(bins: TileBins, cam, cfg, st):
+    """Average the blend over temporal samples (DoF/stochastic); aux picks
+    from the first sample (post.comp.slang temporal accumulation)."""
     from vk_gaussian_splatting_tpu.render.rays import build_tile_rays
 
     samples = max(cfg.temporal_samples, 1)
-    img_acc = trans_acc = None
-    depth = splat_id = None
+    img_acc = trans_acc = depth = splat_id = None
     for sample in range(samples):
         pix_ctx = build_tile_rays(cam, cfg, sample_id=sample)
         seed = jnp.full((1,), sample * 7919 + 1, jnp.int32)
-        out = rasterize_tiles(attrs, bins.chunk_tile, bins.chunk_rank,
-                              bins.chunk_last, bins.seg_counts, pix_ctx,
-                              seed, st)
+        out = rasterize_bins(bins, pix_ctx, seed, st)
         img, trans, d, sid = assemble_image(
             out, bins.seg_counts, st.tiles_x, st.tiles_y,
             cfg.width, cfg.height, cfg.background, with_aux=True)
@@ -209,39 +182,24 @@ def render_3dgut(
     prepared: PreparedSplats,
     cam: Camera,
     cfg: RenderConfig,
-    max_pairs: int,
+    max_pairs: int = 0,
     interpret: bool | None = None,
 ) -> RenderOutput:
     """3DGUT raster pipeline (PIPELINE_MESH_3DGUT): unscented-transform
     projection for binning + exact per-pixel 3D ray response in the blender,
-    with thin-lens DoF and temporal-sample averaging (post.comp.slang)."""
-    from vk_gaussian_splatting_tpu.render.rays import build_tile_rays
-
+    with thin-lens DoF and temporal-sample averaging."""
     if cfg.raster.tile_size != 16:
         raise ValueError("pallas raster path requires tile_size == 16")
     proj = ut_project_splats(prepared, cam, cfg)
-    bins = bin_splats(
-        proj,
-        tile_size=cfg.raster.tile_size,
-        tiles_x=tiles_x(cfg),
-        tiles_y=tiles_y(cfg),
-        max_pairs=max_pairs,
-        chunk=cfg.raster.chunk,
-        front_to_back=True,
-    )
-    attrs = build_gut_pair_attrs(prepared, proj, bins, cfg)
+    bins = bin_for_cfg(proj, gut_attr_rows(prepared, proj, cfg), cfg,
+                       max_pairs)
     st = dataclasses.replace(
-        raster_statics(cfg, interpret),
-        model="gut3d",
-        kernel_degree=cfg.rt.kernel_degree,
-        kernel_min_response=0.0113,
-    )
-
-    acc = _blend_samples(attrs, bins, cam, cfg, st)
-    return RenderOutput(
-        image=acc[0], transmittance=acc[1], depth=acc[2], splat_id=acc[3],
-        num_pairs=bins.num_pairs, overflow=bins.overflow,
-    )
+        raster_statics(cfg, interpret), model="gut3d",
+        kernel_degree=cfg.rt.kernel_degree)
+    img, trans, depth, splat_id = _blend_samples(bins, cam, cfg, st)
+    return RenderOutput(image=img, transmittance=trans, depth=depth,
+                        splat_id=splat_id, num_pairs=bins.num_pairs,
+                        overflow=bins.overflow)
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_pairs", "interpret"))
@@ -249,69 +207,33 @@ def render_3dgrt(
     prepared: PreparedSplats,
     cam: Camera,
     cfg: RenderConfig,
-    max_pairs: int,
+    max_pairs: int = 0,
     interpret: bool | None = None,
 ) -> RenderOutput:
     """3DGRT ray tracing, primary rays (PIPELINE_RTX).
 
     The reference marches BVH hits through a K=18 sorted k-buffer per pass
-    (threedgrt_raytrace.rgen.slang:615-818) purely to recover *per-ray
-    front-to-back order* on hardware that cannot sort globally. On TPU we get
-    that order directly: for rays sharing one origin, sorting candidates by
-    euclidean distance to the origin orders them exactly as their per-ray hit
-    parameters t (t = |p-o| cos(theta), theta constant along a ray), so the
-    tile blender composes the same integral particleIntegrate accumulates
-    (threedgrt.h.slang:226-235) — no BVH, no k-buffer, one sort. Also correct
-    for fisheye (where raster view-z ordering is only approximate).
-
-    Secondary bounces / shadows build on the same blender with per-bundle ray
-    contexts (future work; hybrid pipelines dispatch here for now).
-    """
-    from vk_gaussian_splatting_tpu.render.rays import build_tile_rays
-
+    (rgen:615-818) purely to recover per-ray front-to-back order. Sorting
+    candidates by euclidean distance to the shared ray origin reproduces that
+    order exactly for splat centers (44 dB vs an exact per-ray-t oracle on
+    adversarial scenes), so the tile blender composes the same integral
+    particleIntegrate accumulates — no BVH, no k-buffer. Also correct under
+    fisheye (raster view-z ordering is not)."""
     if cfg.raster.tile_size != 16:
         raise ValueError("pallas raster path requires tile_size == 16")
     proj = ut_project_splats(prepared, cam, cfg)
     radial = jnp.linalg.norm(prepared.means - cam.position, axis=-1)
-    proj = dataclasses.replace(proj, depth=radial)
-    bins = bin_splats(
-        proj,
-        tile_size=cfg.raster.tile_size,
-        tiles_x=tiles_x(cfg),
-        tiles_y=tiles_y(cfg),
-        max_pairs=max_pairs,
-        chunk=cfg.raster.chunk,
-        front_to_back=True,
-    )
-    attrs = build_gut_pair_attrs(prepared, proj, bins, cfg)
+    bins = bin_for_cfg(proj, gut_attr_rows(prepared, proj, cfg), cfg,
+                       max_pairs, depth_override=radial)
     st = dataclasses.replace(
-        raster_statics(cfg, interpret),
-        model="gut3d",
+        raster_statics(cfg, interpret), model="gut3d",
         kernel_degree=cfg.rt.kernel_degree,
-        kernel_min_response=0.0113,
         alpha_clamp=cfg.rt.alpha_clamp,
-        min_transmittance=cfg.rt.min_transmittance,
-    )
-
-    acc = _blend_samples(attrs, bins, cam, cfg, st)
-    return RenderOutput(
-        image=acc[0], transmittance=acc[1], depth=acc[2], splat_id=acc[3],
-        num_pairs=bins.num_pairs, overflow=bins.overflow,
-    )
-
-
-def render(prepared: PreparedSplats, cam: Camera, cfg: RenderConfig,
-           max_pairs: int, **kw) -> RenderOutput:
-    """Pipeline dispatch (shaderio.h:61-66 pipeline ids)."""
-    if cfg.pipeline in (Pipeline.VERT, Pipeline.MESH):
-        return render_3dgs(prepared, cam, cfg, max_pairs, **kw)
-    if cfg.pipeline == Pipeline.MESH_3DGUT:
-        return render_3dgut(prepared, cam, cfg, max_pairs, **kw)
-    if cfg.pipeline == Pipeline.RTX:
-        return render_3dgrt(prepared, cam, cfg, max_pairs, **kw)
-    if cfg.pipeline in (Pipeline.HYBRID, Pipeline.HYBRID_3DGUT):
-        return render_hybrid(prepared, cam, cfg, max_pairs, **kw)[0]
-    raise NotImplementedError(f"pipeline {cfg.pipeline} not yet implemented")
+        min_transmittance=cfg.rt.min_transmittance)
+    img, trans, depth, splat_id = _blend_samples(bins, cam, cfg, st)
+    return RenderOutput(image=img, transmittance=trans, depth=depth,
+                        splat_id=splat_id, num_pairs=bins.num_pairs,
+                        overflow=bins.overflow)
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_pairs", "material", "interpret"))
@@ -319,16 +241,14 @@ def render_3dgs_lit(
     prepared: PreparedSplats,
     cam: Camera,
     cfg: RenderConfig,
-    max_pairs: int,
+    max_pairs: int = 0,
     lights: tuple = (),
     material=None,
     interpret: bool | None = None,
 ):
     """3DGS raster + surface reconstruction + deferred Phong shading
     (the raster-with-lighting frame of gaussian_splatting.cpp:888-908 + S11).
-
-    Returns (RenderOutput, shaded_image, normal_image).
-    """
+    Returns (RenderOutput, shaded_image, normal_image)."""
     from vk_gaussian_splatting_tpu.render.deferred import (
         DeferredMaterial,
         deferred_shade,
@@ -338,17 +258,14 @@ def render_3dgs_lit(
     if material is None:
         material = DeferredMaterial()
     proj = project_splats(prepared, cam, cfg)
-    bins = bin_splats(
-        proj, tile_size=cfg.raster.tile_size, tiles_x=tiles_x(cfg),
-        tiles_y=tiles_y(cfg), max_pairs=max_pairs, chunk=cfg.raster.chunk)
-    attrs = build_pair_attrs(proj, bins)
+    bins = bin_for_cfg(proj, gs_attr_rows(proj), cfg, max_pairs)
     st = raster_statics(cfg, interpret)
-    out = rasterize_tiles(attrs, bins.chunk_tile, bins.chunk_rank,
-                          bins.chunk_last, bins.seg_counts, None, None, st)
+    out = rasterize_bins(bins, None, None, st)
     img, trans, depth, splat_id = assemble_image(
         out, bins.seg_counts, st.tiles_x, st.tiles_y,
         cfg.width, cfg.height, cfg.background, with_aux=True)
-    normal_img = render_normal_buffer(prepared, proj, bins, cam, cfg, st)
+    normal_img = render_normal_buffer(prepared, proj, cam, cfg, st,
+                                      max_pairs)
     shaded = deferred_shade(img, trans, normal_img, depth, cam, cfg,
                             list(lights), material)
     render_out = RenderOutput(image=img, transmittance=trans, depth=depth,
@@ -362,8 +279,8 @@ def render_3dgs_composed(
     prepared: PreparedSplats,
     cam: Camera,
     cfg: RenderConfig,
-    max_pairs: int,
-    mesh,
+    max_pairs: int = 0,
+    mesh=None,
     lights: tuple = (),
     interpret: bool | None = None,
 ) -> RenderOutput:
@@ -380,14 +297,11 @@ def render_3dgs_composed(
         mesh, cam, cfg, max_pairs, lights, interpret)
 
     proj = project_splats(prepared, cam, cfg)
-    bins = bin_splats(
-        proj, tile_size=cfg.raster.tile_size, tiles_x=tiles_x(cfg),
-        tiles_y=tiles_y(cfg), max_pairs=max_pairs, chunk=cfg.raster.chunk)
-    attrs = build_pair_attrs(proj, bins)
-    st = dataclasses.replace(raster_statics(cfg, interpret), model="gs2d_clip")
+    bins = bin_for_cfg(proj, gs_attr_rows(proj), cfg, max_pairs)
+    st = dataclasses.replace(raster_statics(cfg, interpret),
+                             model="gs2d_clip")
     pix_ctx = depth_limit_pix_ctx(mesh_depth, cfg)
-    out = rasterize_tiles(attrs, bins.chunk_tile, bins.chunk_rank,
-                          bins.chunk_last, bins.seg_counts, pix_ctx, None, st)
+    out = rasterize_bins(bins, pix_ctx, None, st)
     img, trans, depth, splat_id = assemble_image(
         out, bins.seg_counts, st.tiles_x, st.tiles_y, cfg.width, cfg.height,
         (0.0, 0.0, 0.0), with_aux=True)
@@ -411,29 +325,23 @@ def render_hybrid(
     prepared: PreparedSplats,
     cam: Camera,
     cfg: RenderConfig,
-    max_pairs: int,
+    max_pairs: int = 0,
     lights: tuple = (),
     material=None,
     shadow_res: int = 512,
     interpret: bool | None = None,
 ):
     """Hybrid pipeline (PIPELINE_HYBRID / PIPELINE_HYBRID_3DGUT): raster
-    primary visibility + ray-effect secondary stage.
-
-    The reference's hybrid mode ingests the raster color/transmittance/depth
-    as bounce-0 state and continues with RTX shadows/reflections
-    (rgen:343-460, 1261-1464). Here the secondary stage is the deferred
-    lighting pass with per-light deep-shadow-map transmittance
-    (render/shadows.py) — splat-on-splat shadows without per-pixel ray
-    marching; mesh reflections/refractions are future work.
-
-    Returns (RenderOutput, shaded image, normal image).
-    """
+    primary visibility + deferred lighting with per-light deep-shadow-map
+    transmittance (render/shadows.py) — the raster+RT-secondary structure of
+    rgen:343-460/1261-1464 with light-space rendering standing in for per-ray
+    marching. Returns (RenderOutput, shaded image, normal image)."""
     from vk_gaussian_splatting_tpu.render.deferred import (
         DeferredMaterial,
         deferred_shade,
         render_normal_buffer,
     )
+    from vk_gaussian_splatting_tpu.render.rays import build_tile_rays
     from vk_gaussian_splatting_tpu.render.shadows import make_shadow_fn
 
     if material is None:
@@ -442,29 +350,26 @@ def render_hybrid(
 
     if use_gut:
         proj = ut_project_splats(prepared, cam, cfg)
+        rows = gut_attr_rows(prepared, proj, cfg)
     else:
         proj = project_splats(prepared, cam, cfg)
-    bins = bin_splats(
-        proj, tile_size=cfg.raster.tile_size, tiles_x=tiles_x(cfg),
-        tiles_y=tiles_y(cfg), max_pairs=max_pairs, chunk=cfg.raster.chunk)
+        rows = gs_attr_rows(proj)
+    bins = bin_for_cfg(proj, rows, cfg, max_pairs)
     st = raster_statics(cfg, interpret)
     if use_gut:
-        from vk_gaussian_splatting_tpu.render.rays import build_tile_rays
-        attrs = build_gut_pair_attrs(prepared, proj, bins, cfg)
         st = dataclasses.replace(st, model="gut3d",
                                  kernel_degree=cfg.rt.kernel_degree)
         pix_ctx = build_tile_rays(cam, cfg, sample_id=0)
     else:
-        attrs = build_pair_attrs(proj, bins)
         pix_ctx = None
-    out = rasterize_tiles(attrs, bins.chunk_tile, bins.chunk_rank,
-                          bins.chunk_last, bins.seg_counts, pix_ctx, None, st)
+    out = rasterize_bins(bins, pix_ctx, None, st)
     img, trans, depth, splat_id = assemble_image(
         out, bins.seg_counts, st.tiles_x, st.tiles_y, cfg.width, cfg.height,
         cfg.background, with_aux=True)
 
-    normal_img = render_normal_buffer(prepared, proj, bins, cam, cfg, st,
-                                      pix_ctx)
+    normal_img = render_normal_buffer(prepared, proj, cam, cfg, st,
+                                      max_pairs, pix_ctx,
+                                      use_gut_rows=use_gut)
     shadow_fn = (make_shadow_fn(prepared, tuple(lights), cfg, shadow_res,
                                 interpret)
                  if lights else None)
@@ -474,3 +379,17 @@ def render_hybrid(
                               splat_id=splat_id, num_pairs=bins.num_pairs,
                               overflow=bins.overflow)
     return render_out, shaded, normal_img
+
+
+def render(prepared: PreparedSplats, cam: Camera, cfg: RenderConfig,
+           max_pairs: int = 0, **kw) -> RenderOutput:
+    """Pipeline dispatch (shaderio.h:61-66 pipeline ids)."""
+    if cfg.pipeline in (Pipeline.VERT, Pipeline.MESH):
+        return render_3dgs(prepared, cam, cfg, max_pairs, **kw)
+    if cfg.pipeline == Pipeline.MESH_3DGUT:
+        return render_3dgut(prepared, cam, cfg, max_pairs, **kw)
+    if cfg.pipeline == Pipeline.RTX:
+        return render_3dgrt(prepared, cam, cfg, max_pairs, **kw)
+    if cfg.pipeline in (Pipeline.HYBRID, Pipeline.HYBRID_3DGUT):
+        return render_hybrid(prepared, cam, cfg, max_pairs, **kw)[0]
+    raise NotImplementedError(f"pipeline {cfg.pipeline} not yet implemented")

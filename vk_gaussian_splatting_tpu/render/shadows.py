@@ -26,12 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from vk_gaussian_splatting_tpu.config import RenderConfig, tiles_x, tiles_y
-from vk_gaussian_splatting_tpu.ops.binning import bin_splats
 from vk_gaussian_splatting_tpu.ops.projection import project_splats
 from vk_gaussian_splatting_tpu.ops.rasterize_pallas import (
     RasterStatics,
     assemble_image,
-    rasterize_tiles,
+    rasterize_bins,
 )
 from vk_gaussian_splatting_tpu.scene.cameras import Camera, make_camera
 from vk_gaussian_splatting_tpu.scene.lights import LightSource, LightType
@@ -94,18 +93,16 @@ def render_deep_shadow_map(prepared: PreparedSplats, light: LightSource,
         max_pairs = max(4 * prepared.num_splats, 1 << 18)
 
     proj = project_splats(prepared, cam, light_cfg)
-    bins = bin_splats(
-        proj, tile_size=16, tiles_x=tiles_x(light_cfg),
-        tiles_y=tiles_y(light_cfg), max_pairs=max_pairs,
-        chunk=cfg.raster.chunk)
-    from vk_gaussian_splatting_tpu.render.pipelines import build_pair_attrs
-    attrs = build_pair_attrs(proj, bins)
+    from vk_gaussian_splatting_tpu.render.pipelines import (
+        bin_for_cfg,
+        gs_attr_rows,
+    )
+    bins = bin_for_cfg(proj, gs_attr_rows(proj), light_cfg, max_pairs)
     st = RasterStatics(
         tiles_x=tiles_x(light_cfg), tiles_y=tiles_y(light_cfg),
         chunk=cfg.raster.chunk, model="gs2d", multi_iso=True,
         iso_thresholds=ISO_LEVELS, interpret=interpret)
-    out = rasterize_tiles(attrs, bins.chunk_tile, bins.chunk_rank,
-                          bins.chunk_last, bins.seg_counts, None, None, st)
+    out = rasterize_bins(bins, None, None, st)
     # rows 4-7 hold the iso depths; reuse assemble for layout then slice
     from vk_gaussian_splatting_tpu.ops.rasterize_pallas import OUT_COLS, PIX, TILE
     empty = jnp.zeros((out.shape[0], OUT_COLS, PIX), jnp.float32)

@@ -52,10 +52,11 @@ class MemoryStatistics:
                        n_splats: int):
         """Pair attrs + schedule + per-tile outputs (the reference's sorting
         buffers + indirect buffers, splat_set_manager_vk.cpp:2426-2517)."""
-        from vk_gaussian_splatting_tpu.ops.binning import aligned_capacity
-        p = aligned_capacity(max_pairs, num_tiles, chunk)
+        from vk_gaussian_splatting_tpu.ops.binning import schedule_capacity
+        p = max_pairs
         attrs = 16 * p * 4
-        schedule = (p // chunk) * 3 * 4 + num_tiles * 2 * 4
+        schedule = schedule_capacity(p, num_tiles, chunk) * 2 * 4 \
+            + num_tiles * 2 * 4
         out = num_tiles * 8 * 256 * 4
         proj = n_splats * 15 * 4
         self.set("Rasterization", device_used=attrs + schedule + out + proj)
