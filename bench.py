@@ -29,6 +29,11 @@ def make_scene(n_splats: int):
     return splats.prepare()
 
 
+FRAMES = 8  # frames per dispatch: the tunneled runtime costs ~44 ms per
+            # host round-trip, so per-frame time is measured over an
+            # on-device lax.scan of FRAMES slightly-perturbed cameras
+
+
 def _sync(x):
     """Force real device completion: on the tunneled axon runtime,
     block_until_ready returns at enqueue; only a device->host fetch of a
@@ -36,13 +41,13 @@ def _sync(x):
     return float(jnp.sum(jax.tree.leaves(x)[0]))
 
 
-def time_fn(fn, *args, iters=10, warmup=2):
+def time_fn(fn, *args, iters=3, warmup=2):
     for _ in range(warmup):
         _sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         _sync(fn(*args))
-    return (time.perf_counter() - t0) / iters
+    return (time.perf_counter() - t0) / iters / FRAMES
 
 
 def main():
@@ -52,16 +57,38 @@ def main():
     cam = look_at([0, 0, -7], [0, 0, 0], [0, 1, 0], cfg.width, cfg.height,
                   fov_y_rad=0.9)
 
-    fwd = jax.jit(lambda p, c: render_3dgs(p, c, cfg).image)
+    def jitter(c, i):
+        # per-frame camera nudge: keeps the scan body un-CSE-able without
+        # changing the workload
+        return dataclasses.replace(
+            c, viewmat=c.viewmat.at[0, 3].add(i.astype(jnp.float32) * 1e-4))
 
-    def loss(p, c):
-        o = render_3dgs(p, c, cfg)
-        return jnp.sum(o.image ** 2)
+    @jax.jit
+    def fwd(p, c):
+        def body(carry, i):
+            o = render_3dgs(p, jitter(c, i), cfg)
+            return carry + jnp.sum(o.image), None
+        s, _ = jax.lax.scan(body, 0.0, jnp.arange(FRAMES))
+        return s
 
-    fwd_bwd = jax.jit(jax.grad(loss))
+    @jax.jit
+    def fwd_bwd(p, c):
+        def loss(pp):
+            @jax.checkpoint
+            def frame_loss(pp_, i):
+                # remat per frame — without it the scan stores every frame's
+                # pair buffers for the backward (8 x 1GB blows HBM)
+                o = render_3dgs(pp_, jitter(c, i), cfg)
+                return jnp.sum(o.image ** 2)
+
+            def body(carry, i):
+                return carry + frame_loss(pp, i), None
+            s, _ = jax.lax.scan(body, 0.0, jnp.arange(FRAMES))
+            return s
+        return jax.grad(loss)(p)
 
     dt_fwd = time_fn(fwd, prepared, cam)
-    dt_fwd_bwd = time_fn(fwd_bwd, prepared, cam, iters=5)
+    dt_fwd_bwd = time_fn(fwd_bwd, prepared, cam, iters=2)
 
     mpix_s = cfg.width * cfg.height / dt_fwd / 1e6
     mpix_s_train = cfg.width * cfg.height / dt_fwd_bwd / 1e6

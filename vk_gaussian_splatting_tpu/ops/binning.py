@@ -8,7 +8,12 @@ are 10-60x slower than sorts and scans*. The design therefore avoids
 per-pair gathers entirely:
 
 1. splats pre-sort by depth at N-level, carrying ALL render attributes as
-   sort payloads (one variadic lax.sort);
+   sort payloads (one variadic lax.sort). Payload width is the sort's cost
+   driver on TPU (measured: 16M rows go 84ms -> 352ms from 1 to 18
+   payloads), so nothing redundant rides along: the splat id is NOT a
+   separate payload — by convention the LAST attribute row is the splat id
+   (ops/response.py ID_ROW is last in every layout) and pair_splat derives
+   from it after the sorts;
 2. **slot expansion**: every splat broadcasts its attribute row to K
    contiguous tile-slots (pure reshape/broadcast — no searchsorted); the
    covered tile rectangle is clamped to at most K tiles around the splat
@@ -103,10 +108,7 @@ def schedule_capacity(pair_budget: int, num_tiles: int, chunk: int) -> int:
     return -(-pair_budget // chunk) + num_tiles
 
 
-@partial(jax.jit, static_argnames=("tile_size", "tiles_x", "tiles_y", "chunk",
-                                   "slots_k", "max_pairs", "front_to_back",
-                                   "expansion"))
-def bin_splats(
+def _bin_impl(
     proj: ProjectedSplats,
     attr_rows: jax.Array,          # (R<=16, N) per-splat render attributes
     *,
@@ -119,7 +121,7 @@ def bin_splats(
     sched_budget: int = 0,         # live-pair bound for the schedule (0=auto)
     front_to_back: bool = True,
     expansion: str = "slots",
-) -> TileBins:
+):
     num_tiles = tiles_x * tiles_y
     if num_tiles >= 0x3FFF:
         raise ValueError("packed schedule supports < 16383 tiles; shard the "
@@ -132,15 +134,15 @@ def bin_splats(
                      jnp.inf)
     x0, y0, x1, y1 = tile_rect(proj.xy, proj.radius, tile_size,
                                tiles_x, tiles_y)
-    ids0 = jnp.arange(n, dtype=jnp.int32)
     valid0 = (proj.valid & (proj.radius.max(axis=1) > 0)
               & (x1 > x0) & (y1 > y0))
     cx0 = (proj.xy[:, 0] / tile_size).astype(jnp.int32)
     cy0 = (proj.xy[:, 1] / tile_size).astype(jnp.int32)
-    ops = (dkey, ids0, x0, y0, x1, y1, cx0, cy0,
-           valid0.astype(jnp.int32)) + tuple(attr_rows)
+    ids0 = jnp.arange(n, dtype=jnp.int32)
+    ops = (dkey, x0, y0, x1, y1, cx0, cy0,
+           valid0.astype(jnp.int32), ids0) + tuple(attr_rows)
     sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
-    (_, sids, x0, y0, x1, y1, cx, cy, valid_s) = sorted_ops[:9]
+    (_, x0, y0, x1, y1, cx, cy, valid_s, sids) = sorted_ops[:9]
     rows_s = sorted_ops[9:]
     valid_s = valid_s > 0
 
@@ -180,8 +182,10 @@ def bin_splats(
         tile_f = jnp.pad(tile.reshape(p_raw).astype(jnp.int32), (0, pad),
                          constant_values=num_tiles)
         pair_rows = tuple(bcast(row) for row in rows_s)
-        pair_sid = jnp.pad(
-            jnp.broadcast_to(sids[:, None], (n, k)).reshape(p_raw), (0, pad))
+        # pre-sort pair position: the bwd un-permutes d_attrs by sorting on
+        # this payload (inverting a sort via its transpose would lower to
+        # pair-count scatters, 10x slower than one more payload sort)
+        pos0 = jnp.arange(p_total, dtype=jnp.int32)
         num_pairs = jnp.sum(slot_valid)
     else:
         # ---- 2b. exact expansion (searchsorted; slow but uncapped) -------
@@ -202,14 +206,14 @@ def bin_splats(
         pv = p < total
         tile_f = jnp.where(pv, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
         pair_rows = tuple(row[s] for row in rows_s)
-        pair_sid = sids[s]
+        pos0 = jnp.arange(p_total, dtype=jnp.int32)  # unused (autodiff path)
         num_pairs = jnp.minimum(total, p_total)
 
     # ---- 3. stable single-key tile sort, attributes as payloads ------------
-    sorted_pairs = jax.lax.sort((tile_f, pair_sid) + pair_rows, num_keys=1,
+    sorted_pairs = jax.lax.sort((tile_f, pos0) + pair_rows, num_keys=1,
                                 is_stable=True)
     tile_sorted = sorted_pairs[0]
-    splat_sorted = sorted_pairs[1]
+    pos_sorted = sorted_pairs[1]
     rows_sorted = sorted_pairs[2:]
 
     parts = [jnp.stack(rows_sorted, axis=0)]
@@ -218,6 +222,9 @@ def bin_splats(
     attrs = jnp.concatenate(parts, axis=0)
 
     pair_valid = tile_sorted < num_tiles
+    # last attribute row is the splat id by convention (see module docstring)
+    splat_sorted = jnp.where(pair_valid, rows_sorted[r - 1].astype(jnp.int32),
+                             0)
 
     # ---- 4. per-tile segments + blend schedule (small arrays only) ---------
     tile_starts = jnp.searchsorted(
@@ -254,7 +261,7 @@ def bin_splats(
             | (first << 1) | last).astype(jnp.int32)
     sched_block = jnp.where(live, block, 0).astype(jnp.int32)
 
-    return TileBins(
+    bins = TileBins(
         attrs=attrs,
         pair_splat=splat_sorted,
         pair_valid=pair_valid,
@@ -265,3 +272,81 @@ def bin_splats(
         num_pairs=num_pairs,
         overflow=overflow,
     )
+    return bins, pos_sorted, sids
+
+
+def _zero_cotangent(tree):
+    def z(x):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.zeros_like(x)
+        import numpy as np
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return jax.tree.map(z, tree)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _bin_slots(proj, attr_rows, statics):
+    """Slots-mode binning with a sort-based backward.
+
+    Autodiff through the fwd sorts would transpose them into pair-count
+    scatters (the 16M-scatter path measured ~2s); instead the bwd sorts
+    d_attrs back to broadcast order by the carried pre-sort position, then a
+    reshape-sum over the K slots and one N-level unsort yield per-splat
+    gradients. No gradient flows through proj here: tile/slot assignment is
+    discrete and sort-key cotangents vanish (sorted keys are discarded), so
+    every differentiable quantity reaches the kernel via attr_rows.
+    """
+    bins, _, _ = _bin_impl(proj, attr_rows, **dict(statics))
+    return bins
+
+
+def _bin_slots_fwd(proj, attr_rows, statics):
+    bins, pos_sorted, sids = _bin_impl(proj, attr_rows, **dict(statics))
+    return bins, (pos_sorted, sids, proj, attr_rows.shape[0],
+                  attr_rows.shape[1])
+
+
+def _bin_slots_bwd(statics, res, d_bins):
+    pos_sorted, sids, proj, r, n = res
+    k = dict(statics)["slots_k"]
+    d_attrs = d_bins.attrs                       # (16, P)
+    unsorted = jax.lax.sort(
+        (pos_sorted,) + tuple(d_attrs[i] for i in range(r)), num_keys=1,
+        is_stable=False)
+    d_pairs = jnp.stack(unsorted[1:], axis=0)[:, :n * k]
+    d_depth_order = d_pairs.reshape(r, n, k).sum(axis=2)
+    back = jax.lax.sort(
+        (sids,) + tuple(d_depth_order[i] for i in range(r)), num_keys=1,
+        is_stable=False)
+    d_rows = jnp.stack(back[1:], axis=0)
+    return _zero_cotangent(proj), d_rows
+
+
+_bin_slots.defvjp(_bin_slots_fwd, _bin_slots_bwd)
+
+
+@partial(jax.jit, static_argnames=("tile_size", "tiles_x", "tiles_y", "chunk",
+                                   "slots_k", "max_pairs", "sched_budget",
+                                   "front_to_back", "expansion"))
+def bin_splats(
+    proj: ProjectedSplats,
+    attr_rows: jax.Array,
+    *,
+    tile_size: int,
+    tiles_x: int,
+    tiles_y: int,
+    chunk: int = 128,
+    slots_k: int = 16,
+    max_pairs: int = 0,
+    sched_budget: int = 0,
+    front_to_back: bool = True,
+    expansion: str = "slots",
+) -> TileBins:
+    kw = dict(tile_size=tile_size, tiles_x=tiles_x, tiles_y=tiles_y,
+              chunk=chunk, slots_k=slots_k, max_pairs=max_pairs,
+              sched_budget=sched_budget, front_to_back=front_to_back,
+              expansion=expansion)
+    if expansion == "slots":
+        return _bin_slots(proj, attr_rows, tuple(sorted(kw.items())))
+    bins, _, _ = _bin_impl(proj, attr_rows, **kw)
+    return bins

@@ -61,7 +61,7 @@ def unpack_cov3d(cov6: jax.Array) -> jax.Array:
 
 
 def ewa_project_cov(
-    cov3d: jax.Array,      # (N,3,3) world-space covariance
+    cov6: jax.Array,       # (N,6) packed world-space covariance
     p_view: jax.Array,     # (N,3) camera-space centers
     fx, fy,
     view_rot: jax.Array,   # (3,3) world->camera rotation
@@ -72,6 +72,12 @@ def ewa_project_cov(
     threedgs.h.slang:26-56. The x/z, y/z terms in the Jacobian are clamped to
     1.3·tan(fov) (INRIA's stabilization) so off-frustum splats don't produce
     degenerate conics before the cull masks them.
+
+    Written as struct-of-arrays column arithmetic rather than (N,3,3)
+    einsums: TPU tiling pads a trailing dim of 3 out to 128 lanes, so
+    (N,3,3) intermediates cost 42x their size in HBM (measured 1.9GB for a
+    34MB array at N=1M). Columns tile natively as (8,128) with no waste, and
+    plain f32 FMA needs no precision=HIGHEST workaround.
     """
     x, y, z = p_view[..., 0], p_view[..., 1], p_view[..., 2]
     z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
@@ -81,15 +87,40 @@ def ewa_project_cov(
     tx = jnp.clip(x * inv_z, -lim_x, lim_x) * z
     ty = jnp.clip(y * inv_z, -lim_y, lim_y) * z
 
-    zeros = jnp.zeros_like(z)
-    j_row0 = jnp.stack([fx * inv_z, zeros, -fx * tx * inv_z * inv_z], -1)
-    j_row1 = jnp.stack([zeros, fy * inv_z, -fy * ty * inv_z * inv_z], -1)
-    jmat = jnp.stack([j_row0, j_row1], axis=-2)              # (N,2,3)
+    # J rows: (j00, 0, j02) and (0, j11, j12)
+    j00 = fx * inv_z
+    j02 = -fx * tx * inv_z * inv_z
+    j11 = fy * inv_z
+    j12 = -fy * ty * inv_z * inv_z
 
-    hp = jax.lax.Precision.HIGHEST  # TPU default matmul precision is ~bf16
-    t = jnp.einsum("nij,jk->nik", jmat, view_rot, precision=hp)  # J @ W
-    cov2d = jnp.einsum("nij,njk,nlk->nil", t, cov3d, t, precision=hp)
-    return jnp.stack([cov2d[:, 0, 0], cov2d[:, 0, 1], cov2d[:, 1, 1]], -1)
+    sxx, sxy, sxz, syy, syz, szz = (cov6[:, i] for i in range(6))
+    w = view_rot  # (3,3) scalars
+
+    # M = W Σ Wᵀ, symmetric; t[i][k] = (W_i Σ)_k
+    t_rows = []
+    for i in range(3):
+        wi0, wi1, wi2 = w[i, 0], w[i, 1], w[i, 2]
+        t_rows.append((wi0 * sxx + wi1 * sxy + wi2 * sxz,
+                       wi0 * sxy + wi1 * syy + wi2 * syz,
+                       wi0 * sxz + wi1 * syz + wi2 * szz))
+
+    def m_entry(i, jx):
+        ti = t_rows[i]
+        return ti[0] * w[jx, 0] + ti[1] * w[jx, 1] + ti[2] * w[jx, 2]
+
+    m00 = m_entry(0, 0)
+    m01 = m_entry(0, 1)
+    m02 = m_entry(0, 2)
+    m11 = m_entry(1, 1)
+    m12 = m_entry(1, 2)
+    m22 = m_entry(2, 2)
+
+    # cov2d = J M Jᵀ with J's sparsity expanded
+    a = j00 * j00 * m00 + 2.0 * j00 * j02 * m02 + j02 * j02 * m22
+    b = (j00 * j11 * m01 + j00 * j12 * m02
+         + j02 * j11 * m12 + j02 * j12 * m22)
+    c = j11 * j11 * m11 + 2.0 * j11 * j12 * m12 + j12 * j12 * m22
+    return jnp.stack([a, b, c], -1)
 
 
 def project_splats(
@@ -111,9 +142,8 @@ def project_splats(
     tan_fovx = 0.5 * cfg.width / cam.fx
     tan_fovy = 0.5 * cfg.height / cam.fy
 
-    cov3d = unpack_cov3d(prepared.cov3d)
-    cov2d = ewa_project_cov(cov3d, p_view, cam.fx, cam.fy, cam.viewmat[:3, :3],
-                            tan_fovx, tan_fovy)
+    cov2d = ewa_project_cov(prepared.cov3d, p_view, cam.fx, cam.fy,
+                            cam.viewmat[:3, :3], tan_fovx, tan_fovy)
 
     det_orig = cov2d[:, 0] * cov2d[:, 2] - cov2d[:, 1] * cov2d[:, 1]
     a = cov2d[:, 0] + rc.dilation
@@ -201,19 +231,14 @@ def fisheye_max_angle(width, height, cx, cy, fx, fy):
     return jnp.maximum(max_radius / fx, max_radius / fy)
 
 
-def camera_project_points(cam: Camera, p_cam: jax.Array, cfg: RenderConfig,
-                          margin: float = GUT_MARGIN):
-    """Project camera-space points through the configured sensor model.
+def project_point_cols(cam: Camera, x, y, z, cfg: RenderConfig,
+                       margin: float = GUT_MARGIN):
+    """Column core of the sensor projection: (x, y, z) -> (u, v, valid).
 
-    p_cam (..., 3) -> (uv (..., 2), valid (...,)). Full OpenCV models
-    (projectPointPinhole / projectPointFisheye, camera_projections:91-171):
-    pinhole with rational radial + tangential + thin-prism distortion (valid
-    while 0.8 < icD < 1.2, out-of-limits points clipped outward); fisheye
-    with the theta-polynomial and maxAngle FOV cone. All-zero distortion
-    (the default) reduces to the ideal models.
+    Struct-of-arrays so callers never materialize (..., 3)/(..., 2) stacks
+    (TPU tiling pads a trailing dim of 3 to 128 lanes — 42x HBM waste).
     """
     d = cam.distortion
-    x, y, z = p_cam[..., 0], p_cam[..., 1], p_cam[..., 2]
     if cfg.camera_type == CameraType.PINHOLE:
         zs = jnp.where(z <= 1e-8, 1e-8, z)
         un = x / zs
@@ -258,6 +283,22 @@ def camera_project_points(cam: Camera, p_cam: jax.Array, cfg: RenderConfig,
     tol_y = cfg.height * margin
     valid = valid & (u > -tol_x) & (v > -tol_y) \
         & (u < cfg.width + tol_x) & (v < cfg.height + tol_y)
+    return u, v, valid
+
+
+def camera_project_points(cam: Camera, p_cam: jax.Array, cfg: RenderConfig,
+                          margin: float = GUT_MARGIN):
+    """Project camera-space points through the configured sensor model.
+
+    p_cam (..., 3) -> (uv (..., 2), valid (...,)). Full OpenCV models
+    (projectPointPinhole / projectPointFisheye, camera_projections:91-171):
+    pinhole with rational radial + tangential + thin-prism distortion (valid
+    while 0.8 < icD < 1.2, out-of-limits points clipped outward); fisheye
+    with the theta-polynomial and maxAngle FOV cone. All-zero distortion
+    (the default) reduces to the ideal models.
+    """
+    u, v, valid = project_point_cols(
+        cam, p_cam[..., 0], p_cam[..., 1], p_cam[..., 2], cfg, margin)
     return jnp.stack([u, v], -1), valid
 
 
@@ -273,32 +314,60 @@ def ut_project_splats(
     center and w0_cov = 2 for the covariance (lambda = 0, alpha=1, beta=2 —
     threedgut_definitions.h.slang:44-51).
     """
-    from vk_gaussian_splatting_tpu.scene.splat_set import quat_to_rotmat
-
     rc = cfg.raster
     means = prepared.means                                   # (N,3)
-    n = means.shape[0]
-    r = quat_to_rotmat(prepared.quats)                       # (N,3,3)
+    mx, my, mz = means[:, 0], means[:, 1], means[:, 2]
+    q = prepared.quats / jnp.linalg.norm(
+        prepared.quats, axis=-1, keepdims=True).clip(1e-12)
+    qw, qx, qy, qz = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    # rotation columns (world-from-canonical R), struct-of-arrays — no
+    # (N,3,3) stack (TPU pads trailing dim 3 to 128 lanes, 42x HBM waste)
+    rcol = (
+        (1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy + qw * qz),
+         2 * (qx * qz - qw * qy)),
+        (2 * (qx * qy - qw * qz), 1 - 2 * (qx * qx + qz * qz),
+         2 * (qy * qz + qw * qx)),
+        (2 * (qx * qz + qw * qy), 2 * (qy * qz - qw * qx),
+         1 - 2 * (qx * qx + qy * qy)),
+    )   # rcol[i] = i-th column of R as (x, y, z) component columns
     s = jnp.exp(prepared.scales_log) * cfg.splat_scale       # (N,3)
-    axes = GUT_DELTA * r * s[:, None, :]                     # columns scaled: (N,3,3)
 
-    pts = jnp.stack(
-        [means]
-        + [means + axes[:, :, i] for i in range(3)]
-        + [means - axes[:, :, i] for i in range(3)],
-        axis=0,
-    )                                                        # (7,N,3)
-    p_cam = jnp.matmul(pts, cam.viewmat[:3, :3].T,
-                       precision=jax.lax.Precision.HIGHEST) + cam.viewmat[:3, 3]
-    uv, valid_pt = camera_project_points(cam, p_cam, cfg)    # (7,N,2), (7,N)
+    # 7 sigma points: mean, mean ± sqrt(3)·s_i·R[:,i]
+    pts = [(mx, my, mz)]
+    for i in range(3):
+        ax = tuple(GUT_DELTA * s[:, i] * rcol[i][j] for j in range(3))
+        pts.append((mx + ax[0], my + ax[1], mz + ax[2]))
+        pts.append((mx - ax[0], my - ax[1], mz - ax[2]))
+
+    vm = cam.viewmat
+    us, vs, valids = [], [], []
+    depth = None
+    for idx, (px, py, pz) in enumerate(pts):
+        cxx = vm[0, 0] * px + vm[0, 1] * py + vm[0, 2] * pz + vm[0, 3]
+        cyy = vm[1, 0] * px + vm[1, 1] * py + vm[1, 2] * pz + vm[1, 3]
+        czz = vm[2, 0] * px + vm[2, 1] * py + vm[2, 2] * pz + vm[2, 3]
+        if idx == 0:
+            depth = czz
+        u, v, ok = project_point_cols(cam, cxx, cyy, czz, cfg)
+        us.append(u)
+        vs.append(v)
+        valids.append(ok)
 
     w_i = 1.0 / 6.0
-    center = w_i * jnp.sum(uv[1:], axis=0)                   # mean weight = 0
-    d = uv - center[None]                                    # (7,N,2)
+    cu = w_i * sum(us[1:])                                   # mean weight = 0
+    cv = w_i * sum(vs[1:])
     w0_cov = 2.0  # lambda/(D+lambda) + (1 - alpha^2 + beta)
-    outer = jnp.stack([d[..., 0] * d[..., 0], d[..., 0] * d[..., 1],
-                       d[..., 1] * d[..., 1]], axis=-1)      # (7,N,3)
-    cov = w0_cov * outer[0] + w_i * jnp.sum(outer[1:], axis=0)  # (N,3)
+    cov_a = cov_b = cov_c = 0.0
+    for idx in range(7):
+        du = us[idx] - cu
+        dv = vs[idx] - cv
+        wgt = w0_cov if idx == 0 else w_i
+        cov_a = cov_a + wgt * du * du
+        cov_b = cov_b + wgt * du * dv
+        cov_c = cov_c + wgt * dv * dv
+    cov = jnp.stack([cov_a, cov_b, cov_c], -1)               # (N,3)
+    center = jnp.stack([cu, cv], -1)
+    valid_pt = jnp.stack(valids, 0)
 
     a = cov[:, 0] + GUT_DILATION
     b = cov[:, 1]
@@ -322,7 +391,6 @@ def ut_project_splats(
     ry = jnp.minimum(extent_factor * jnp.sqrt(jnp.maximum(c, 0.0)), radius)
     rect = jnp.ceil(jnp.stack([rx, ry], -1))
 
-    depth = p_cam[0, :, 2]
     valid = (jnp.any(valid_pt, axis=0)
              & (det != 0)
              & (alpha >= GUT_ALPHA_THRESHOLD)

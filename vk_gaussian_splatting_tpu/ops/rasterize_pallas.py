@@ -110,7 +110,11 @@ def _shift_right(x: jax.Array, s: int, fill: float) -> jax.Array:
 
 
 def _cumprod_exclusive(q: jax.Array) -> jax.Array:
-    """Exclusive prefix product along lanes via log-shift scan (VPU only)."""
+    """Exclusive prefix product along lanes via log-shift scan (VPU only).
+
+    NOT a triangular-matrix MXU contraction: Mosaic's default f32 matmul on
+    full-width outputs is bf16-grade (measured 0.4% relative on-chip),
+    which corrupts transmittance chains; the 21-op VPU scan is exact f32."""
     c = q.shape[1]
     x = _shift_right(q, 1, 1.0)
     s = 1
@@ -121,7 +125,7 @@ def _cumprod_exclusive(q: jax.Array) -> jax.Array:
 
 
 def _cumsum_inclusive(v: jax.Array) -> jax.Array:
-    """Inclusive prefix sum along lanes via log-shift scan."""
+    """Inclusive prefix sum along lanes via log-shift scan (VPU, exact f32)."""
     c = v.shape[1]
     x = v
     s = 1
@@ -305,11 +309,16 @@ def _make_fwd_kernel(st: RasterStatics):
     return kernel
 
 
-def _make_bwd_kernel(st: RasterStatics, n_blocks: int):
+def _make_bwd_kernel(st: RasterStatics):
     c = st.chunk
     uses_pix = USES_PIX_CTX[st.model]
 
-    def kernel(seed_ref, word_ref, block_ref, attrs_ref, ctx_hbm_ref, *rest):
+    # d_attrs arrives zero-initialized through an input/output-aliased XLA
+    # zeros buffer (a ~2ms HBM fill) instead of a per-block zeroing grid
+    # phase (P/chunk extra kernel steps); the grid covers schedule steps only.
+    def kernel(seed_ref, word_ref, block_ref, attrs_ref, ctx_hbm_ref,
+               zeros_ref, *rest):
+        del zeros_ref  # aliased with the d_attrs output; contents only
         if uses_pix:
             (pixctx_ref, dattrs_ref, t_col, s_run, ctx, ablock, dblock,
              pixraw, pixscr, sem, dsem, psem) = rest
@@ -317,20 +326,7 @@ def _make_bwd_kernel(st: RasterStatics, n_blocks: int):
             (dattrs_ref, t_col, s_run, ctx, ablock, dblock, sem,
              dsem) = rest
             pixscr = None
-        g = pl.program_id(0)
-
-        # ---- phase 1: zero-fill d_attrs (base for RMW accumulation) --------
-        @pl.when(g < n_blocks)
-        def _zero():
-            dblock[:, :] = jnp.zeros((NUM_ATTRS, c), jnp.float32)
-            copy = pltpu.make_async_copy(
-                dblock,
-                dattrs_ref.at[:, pl.ds(pl.multiple_of(g * c, 128), c)], dsem)
-            copy.start()
-            copy.wait()
-
-        # ---- phase 2: schedule steps ---------------------------------------
-        j = jnp.maximum(g - n_blocks, 0)
+        j = pl.program_id(0)
         word = word_ref[j]
         traw = word >> 17
         t = jnp.where(traw == 0x3FFF, -1, traw)
@@ -341,7 +337,7 @@ def _make_bwd_kernel(st: RasterStatics, n_blocks: int):
         px, py = _tile_pixel_coords(t, st.tiles_x)
         rng_key = seed_ref[0] + b if st.stochastic else None
 
-        @pl.when((g >= n_blocks) & (t >= 0))
+        @pl.when(t >= 0)
         def _step():
             acopy = _attrs_copy(attrs_ref, ablock, sem, b, c)
             acopy.start()
@@ -376,10 +372,14 @@ def _make_bwd_kernel(st: RasterStatics, n_blocks: int):
                 s_total = jnp.transpose(ctx[CTX_STOTAL:CTX_STOTAL + 1, :])
                 gt_tn = jnp.transpose(ctx[CTX_GTTN:CTX_GTTN + 1, :])
                 cols = block[ATTR_R:ATTR_B + 1, :]
-                cg = jax.lax.dot_general(
-                    g_rgb_t, cols, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                                 # (256, C)
+                # cg[pix, c] = sum_ch g_rgb[ch, pix] * cols[ch, c], expanded
+                # as 3 broadcast FMAs: a K=3 dot_general rides the MXU where
+                # Mosaic's f32 matmul is bf16-grade (0.3-2% relative grad
+                # error measured on-chip); VPU broadcasts are exact.
+                cg = (jnp.transpose(g_rgb_t[0:1, :]) * cols[0:1, :]
+                      + jnp.transpose(g_rgb_t[1:2, :]) * cols[1:2, :]
+                      + jnp.transpose(g_rgb_t[2:3, :]) * cols[2:3, :]
+                      )                                           # (256, C)
                 wcg = w * cg
                 s_incl = s_run[:, :] + _cumsum_inclusive(wcg)
                 suffix = s_total - s_incl
@@ -387,10 +387,13 @@ def _make_bwd_kernel(st: RasterStatics, n_blocks: int):
                 dalpha = t_k * cg - (suffix + gt_tn) / qsafe
 
                 (d_block,) = alpha_vjp(dalpha)
-                dcol = jax.lax.dot_general(
-                    g_rgb_t, w, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                                  # (3,C)
+                # dcol[ch, c] = sum_pix g_rgb[ch, pix] * w[pix, c]: a K=256
+                # contraction would ride the MXU in bf16 (see cg above);
+                # per-channel sublane reductions stay exact on the VPU.
+                dcol = jnp.concatenate(
+                    [jnp.sum(jnp.transpose(g_rgb_t[ch:ch + 1, :]) * w,
+                             axis=0, keepdims=True) for ch in range(3)],
+                    axis=0)                                        # (3,C)
                 d_full = jnp.concatenate(
                     [d_block[:ATTR_R, :], d_block[ATTR_R:ATTR_B + 1, :] + dcol,
                      d_block[ATTR_B + 1:, :]], axis=0)
@@ -462,10 +465,10 @@ def _fwd_call(st: RasterStatics, p_alloc: int, s_cap: int):
 @functools.lru_cache(maxsize=64)
 def _bwd_call(st: RasterStatics, p_alloc: int, s_cap: int):
     uses_pix = USES_PIX_CTX[st.model]
-    n_blocks = p_alloc // st.chunk
     in_specs = _sched_specs() + [
         pl.BlockSpec(memory_space=pltpu.HBM),   # attrs
         pl.BlockSpec(memory_space=pltpu.HBM),   # bwd ctx (T, 8, 256)
+        pl.BlockSpec(memory_space=pltpu.HBM),   # zeros, aliased to d_attrs
     ]
     scratch = [
         pltpu.VMEM((PIX, 1), jnp.float32),          # t_col
@@ -489,12 +492,13 @@ def _bwd_call(st: RasterStatics, p_alloc: int, s_cap: int):
             pltpu.SemaphoreType.DMA(()),
         ]
     return pl.pallas_call(
-        _make_bwd_kernel(st, n_blocks),
-        grid=(n_blocks + s_cap,),
+        _make_bwd_kernel(st),
+        grid=(s_cap,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=scratch,
         out_shape=jax.ShapeDtypeStruct((NUM_ATTRS, p_alloc), jnp.float32),
+        input_output_aliases={5: 0},
         interpret=st.interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
@@ -546,7 +550,8 @@ def _rt_bwd(st, res, g):
 
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
-    args = [seed, sched_word, sched_block, attrs, ctx]
+    zeros = jnp.zeros_like(attrs)  # aliased into d_attrs (RMW base)
+    args = [seed, sched_word, sched_block, attrs, ctx, zeros]
     if USES_PIX_CTX[st.model]:
         args.append(pix_ctx)
     d_attrs = _bwd_call(st, attrs.shape[1], sched_word.shape[0])(*args)

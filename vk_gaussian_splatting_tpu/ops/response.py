@@ -72,7 +72,15 @@ def kernel_response(ray_dist_sq: jax.Array, degree: int) -> jax.Array:
 
 
 def gs2d_alpha(block, pix, px, py, live, st):
-    """(256, C) alpha from the 2D conic model. pix unused."""
+    """(256, C) alpha from the 2D conic model. pix unused.
+
+    Stays elementwise on the VPU deliberately: reformulating d as a
+    (256,8)x(8,C) feature contraction puts it on the MXU, where Mosaic's
+    default f32 matmul is bf16-grade (measured 0.4% relative on-chip) —
+    enough to corrupt alphas for small splats (d terms reach ~1e3). Only
+    small-output contractions (e.g. the (C,3) color accumulation) lower to
+    exact f32; precision overrides inside kernels hung the device once.
+    """
     x = block[GS_X:GS_X + 1, :]
     y = block[GS_Y:GS_Y + 1, :]
     ca = block[GS_CA:GS_CA + 1, :]
