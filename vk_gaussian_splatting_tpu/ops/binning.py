@@ -40,7 +40,31 @@ import jax.numpy as jnp
 
 from vk_gaussian_splatting_tpu.ops.projection import ProjectedSplats
 
-NUM_ATTRS = 16
+NUM_ATTRS = 16  # widest layout (gut3d); attrs carry exactly the model's rows
+
+# XLA's TPU sort cost is flat in operand count up to 14 operands, then
+# jumps ~3x (measured on v5e at 16M rows: 14 ops 15.6ms -> 15 ops 44.4ms).
+# Sorts with more payloads split into several stable sorts on the same key:
+# stability makes every split apply the identical permutation.
+MAX_SORT_OPS = 14
+
+
+def _stable_key_sort(key: jax.Array, payloads: tuple):
+    """(sorted_key, sorted_payloads) — stable single-key sort, split into
+    cliff-sized pieces (see MAX_SORT_OPS)."""
+    max_pay = MAX_SORT_OPS - 1
+    if len(payloads) <= max_pay:
+        res = jax.lax.sort((key,) + tuple(payloads), num_keys=1,
+                           is_stable=True)
+        return res[0], res[1:]
+    out = []
+    skey = None
+    for i in range(0, len(payloads), max_pay):
+        res = jax.lax.sort((key,) + tuple(payloads[i:i + max_pay]),
+                           num_keys=1, is_stable=True)
+        skey = res[0]
+        out.extend(res[1:])
+    return skey, tuple(out)
 
 
 @jax.tree_util.register_dataclass
@@ -121,6 +145,8 @@ def _bin_impl(
     sched_budget: int = 0,         # live-pair bound for the schedule (0=auto)
     front_to_back: bool = True,
     expansion: str = "slots",
+    need_pos: bool = True,         # carry the pre-sort position payload
+                                   # (only the custom-VJP fwd needs it)
 ):
     num_tiles = tiles_x * tiles_y
     if num_tiles >= 0x3FFF:
@@ -139,11 +165,11 @@ def _bin_impl(
     cx0 = (proj.xy[:, 0] / tile_size).astype(jnp.int32)
     cy0 = (proj.xy[:, 1] / tile_size).astype(jnp.int32)
     ids0 = jnp.arange(n, dtype=jnp.int32)
-    ops = (dkey, x0, y0, x1, y1, cx0, cy0,
-           valid0.astype(jnp.int32), ids0) + tuple(attr_rows)
-    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
-    (_, x0, y0, x1, y1, cx, cy, valid_s, sids) = sorted_ops[:9]
-    rows_s = sorted_ops[9:]
+    payloads = (x0, y0, x1, y1, cx0, cy0,
+                valid0.astype(jnp.int32), ids0) + tuple(attr_rows)
+    _, sorted_ops = _stable_key_sort(dkey, payloads)
+    (x0, y0, x1, y1, cx, cy, valid_s, sids) = sorted_ops[:8]
+    rows_s = sorted_ops[8:]
     valid_s = valid_s > 0
 
     w = jnp.maximum(x1 - x0, 0)
@@ -210,12 +236,18 @@ def _bin_impl(
         num_pairs = jnp.minimum(total, p_total)
 
     # ---- 3. stable single-key tile sort, attributes as payloads ------------
-    sorted_pairs = jax.lax.sort((tile_f, pos0) + pair_rows, num_keys=1,
-                                is_stable=True)
-    tile_sorted = sorted_pairs[0]
-    pos_sorted = sorted_pairs[1]
-    rows_sorted = sorted_pairs[2:]
+    pay = ((pos0,) if need_pos else ()) + pair_rows
+    tile_sorted, sorted_pairs = _stable_key_sort(tile_f, pay)
+    if need_pos:
+        pos_sorted = sorted_pairs[0]
+        rows_sorted = sorted_pairs[1:]
+    else:
+        pos_sorted = None
+        rows_sorted = sorted_pairs
 
+    # Mosaic HBM slices must be 8-sublane aligned: the blender DMAs
+    # (rows, chunk) blocks, so the row count pads to NUM_ATTRS=16 (the only
+    # multiple of 8 covering every layout). Pad rows are never read.
     parts = [jnp.stack(rows_sorted, axis=0)]
     if r < NUM_ATTRS:
         parts.append(jnp.zeros((NUM_ATTRS - r, p_total), jnp.float32))
@@ -240,7 +272,11 @@ def _bin_impl(
     s_total = step_starts[-1]
 
     if sched_budget <= 0:
-        sched_budget = min(p_total, max(4 * n, 1 << 20))
+        # cover realistic pair counts (~8/splat at 1080p) without truncation;
+        # the hard ceiling keeps the two schedule arrays inside ~0.7MB of
+        # SMEM (s_cap * 2 * 4B)
+        smem_cap = max((90_000 - num_tiles) * chunk, 1 << 20)
+        sched_budget = min(p_total, max(8 * n, 1 << 20), smem_cap)
     s_cap = schedule_capacity(min(sched_budget, p_total), num_tiles, chunk)
     overflow = overflow | (s_total > s_cap)
     sidx = jnp.arange(s_cap, dtype=jnp.int32)
@@ -296,7 +332,7 @@ def _bin_slots(proj, attr_rows, statics):
     discrete and sort-key cotangents vanish (sorted keys are discarded), so
     every differentiable quantity reaches the kernel via attr_rows.
     """
-    bins, _, _ = _bin_impl(proj, attr_rows, **dict(statics))
+    bins, _, _ = _bin_impl(proj, attr_rows, need_pos=False, **dict(statics))
     return bins
 
 

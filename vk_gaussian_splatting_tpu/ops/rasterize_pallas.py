@@ -71,7 +71,7 @@ ATTR_R = 6
 ATTR_G = 7
 ATTR_B = 8
 ATTR_DEPTH = 9
-NUM_ATTRS = 16
+NUM_ATTRS = 16  # widest layout; actual per-model row counts in NUM_ROWS
 
 TILE = 16
 PIX = TILE * TILE  # 256 pixels per tile

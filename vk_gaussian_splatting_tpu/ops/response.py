@@ -220,3 +220,8 @@ USES_PIX_CTX = {"gs2d": False, "gs2d_clip": True, "gut3d": True,
 DEPTH_ROW = {"gs2d": GS_DEPTH, "gs2d_clip": GS_DEPTH, "gut3d": GUT_DEPTH,
              "tri2d": TRI_DEPTH}
 ID_ROW = {"gs2d": GS_ID, "gs2d_clip": GS_ID, "gut3d": GUT_ID, "tri2d": TRI_ID}
+# attr rows per layout — binning carries exactly these through the pair
+# sorts (payload count is the sort cost driver) and the blender DMAs
+# (NUM_ROWS, chunk) blocks
+NUM_ROWS = {"gs2d": GS_ID + 1, "gs2d_clip": GS_ID + 1, "gut3d": GUT_ID + 1,
+            "tri2d": TRI_ID + 1}
