@@ -1,0 +1,227 @@
+"""Tests for ops/raytrace.py + render/wavefront.py (secondary bounces).
+
+Oracle: ops/rasterize_ref.raytrace_naive_exact — exact per-ray t-ordered
+integration (what the reference's k-buffer marching converges to,
+threedgrt_raytrace.rgen.slang:615-818)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vk_gaussian_splatting_tpu.config import RenderConfig
+from vk_gaussian_splatting_tpu.io.obj import ObjMaterial, ObjMesh
+from vk_gaussian_splatting_tpu.ops.projection import ut_project_splats
+from vk_gaussian_splatting_tpu.ops.rasterize_ref import raytrace_naive_exact
+from vk_gaussian_splatting_tpu.ops.raytrace import (
+    reflect,
+    refract_or_reflect,
+    trace_mesh,
+    trace_splats,
+)
+from vk_gaussian_splatting_tpu.render.mesh_raster import mesh_buffers_from_obj
+from vk_gaussian_splatting_tpu.scene.cameras import look_at
+from vk_gaussian_splatting_tpu.scene.splat_set import random_splats
+
+
+def _ray_batch(key, r, spread=0.3, cone=0.5):
+    k1, k2 = jax.random.split(key)
+    orig = jnp.array([0.0, -0.5, -6.0]) + spread * jax.random.normal(k1, (r, 3))
+    d = jnp.array([0.0, 0.0, 1.0]) + cone * jax.random.normal(k2, (r, 3))
+    return orig, d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def _mirror_mesh(mat=None):
+    if mat is None:
+        mat = ObjMaterial(name="mirror", diffuse=(0.05, 0.05, 0.05),
+                          specular=(0.9, 0.9, 0.9), illum=1)
+    pos = np.array([[-6, -2, -6], [6, -2, -6], [6, -2, 6], [-6, -2, 6]],
+                   np.float32)
+    nrm = np.tile(np.array([[0, 1, 0]], np.float32), (4, 1))
+    idx = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    mesh = ObjMesh(positions=pos, normals=nrm, indices=idx,
+                   mat_indices=np.array([0, 0], np.int32), materials=[mat])
+    return mesh_buffers_from_obj(mesh)
+
+
+def test_trace_splats_matches_exact_oracle():
+    cfg = RenderConfig(width=32, height=24, sh_degree=1)
+    splats = random_splats(jax.random.key(0), 800, sh_degree=1).prepare()
+    r = cfg.width * cfg.height
+    orig, d = _ray_batch(jax.random.key(1), r)
+
+    res = trace_splats(splats, orig, d, jnp.full((r,), -jnp.inf),
+                       jnp.full((r,), jnp.inf), cfg, chunk=128, ray_block=256)
+
+    cam = look_at(np.asarray(orig.mean(0)), [0, 0, 0], [0, 1, 0],
+                  cfg.width, cfg.height)
+    proj = ut_project_splats(splats, cam, cfg)
+    proj = dataclasses.replace(proj, valid=jnp.ones_like(proj.valid))
+    rc = dataclasses.replace(cfg.raster, alpha_min=cfg.rt.alpha_min,
+                             alpha_clamp=cfg.rt.alpha_clamp)
+    img_o, t_o = raytrace_naive_exact(
+        splats, proj, d.reshape(cfg.height, cfg.width, 3),
+        orig.reshape(cfg.height, cfg.width, 3), rc,
+        kernel_degree=cfg.rt.kernel_degree)
+
+    img = np.asarray(res.radiance).reshape(cfg.height, cfg.width, 3)
+    mse = float(np.mean((img - np.asarray(img_o)) ** 2))
+    psnr = 10 * np.log10(max(float(np.asarray(img_o).max()), 1.0) ** 2
+                         / max(mse, 1e-12))
+    assert psnr > 40.0, psnr
+    t = np.asarray(res.transmittance).reshape(cfg.height, cfg.width)
+    np.testing.assert_allclose(t, np.asarray(t_o), atol=2e-3)
+
+
+def test_trace_splats_t_window():
+    """t_max clipping removes everything beyond the window."""
+    cfg = RenderConfig(width=8, height=8, sh_degree=0)
+    splats = random_splats(jax.random.key(2), 200, sh_degree=0).prepare()
+    r = 64
+    orig, d = _ray_batch(jax.random.key(3), r, spread=0.05, cone=0.2)
+    full = trace_splats(splats, orig, d, jnp.zeros(r), jnp.full(r, jnp.inf),
+                        cfg, chunk=64, ray_block=64)
+    none = trace_splats(splats, orig, d, jnp.zeros(r), jnp.full(r, 1e-4),
+                        cfg, chunk=64, ray_block=64)
+    assert float(jnp.abs(none.radiance).max()) == 0.0
+    assert float(jnp.abs(none.transmittance - 1.0).max()) == 0.0
+    assert float(full.transmittance.min()) < 1.0
+
+
+def test_trace_mesh_closest_hit():
+    # two stacked triangles; the closer one must win
+    pos = jnp.array([[0., 0., 5.], [4., 0., 5.], [0., 4., 5.],
+                     [0., 0., 3.], [4., 0., 3.], [0., 4., 3.]])
+    idx = jnp.array([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    o = jnp.array([[1., 1., 0.], [3.9, 3.9, 0.]])
+    d = jnp.array([[0., 0., 1.], [0., 0., 1.]])
+    mh = trace_mesh(pos, idx, o, d, jnp.zeros(2))
+    assert bool(mh.hit[0]) and not bool(mh.hit[1])
+    assert float(mh.t[0]) == pytest.approx(3.0)
+    assert int(mh.face[0]) == 1
+    # t_min beyond the close face picks the far one
+    mh2 = trace_mesh(pos, idx, o, d, jnp.full((2,), 4.0))
+    assert int(mh2.face[0]) == 0 and float(mh2.t[0]) == pytest.approx(5.0)
+
+
+def test_refract_snell_and_tir():
+    n = jnp.array([[0.0, 0.0, -1.0]])
+    # normal incidence passes straight through
+    d0 = refract_or_reflect(jnp.array([[0.0, 0.0, 1.0]]), n,
+                            jnp.array([1.5]))
+    np.testing.assert_allclose(np.asarray(d0), [[0, 0, 1]], atol=1e-6)
+    # Snell: sin(out) = sin(in)/ior entering the medium
+    th = 0.7
+    d_in = jnp.array([[np.sin(th), 0.0, np.cos(th)]])
+    d1 = np.asarray(refract_or_reflect(d_in, n, jnp.array([1.5])))[0]
+    assert d1[0] == pytest.approx(np.sin(th) / 1.5, abs=1e-6)
+    # total internal reflection exiting at a grazing angle (sin*ior > 1);
+    # medium occupies z>0, outward normal n=-z, exiting ray has d.n > 0
+    th2 = 1.2  # sin(1.2)*1.5 > 1
+    d_in2 = jnp.array([[np.sin(th2), 0.0, -np.cos(th2)]])
+    d2 = np.asarray(refract_or_reflect(d_in2, n, jnp.array([1.5])))[0]
+    np.testing.assert_allclose(
+        d2, [np.sin(th2), 0.0, np.cos(th2)], atol=1e-6)
+
+
+def test_mirror_bounce_matches_oracle_rays():
+    """One bounce off a mirror floor == throughput x exact-oracle integration
+    along the reflected rays (validates spawn positions, reflect dirs, and
+    throughput wiring end to end)."""
+    from vk_gaussian_splatting_tpu.render.mesh_raster import render_mesh
+    from vk_gaussian_splatting_tpu.render.wavefront import (
+        secondary_spawn,
+        trace_secondary,
+    )
+
+    cfg = RenderConfig(width=48, height=32, sh_degree=1)
+    splats = random_splats(jax.random.key(4), 300, sh_degree=1).prepare()
+    mb = _mirror_mesh()
+    cam = look_at([0, 0.5, -7], [0, -0.8, 0], [0, 1, 0],
+                  cfg.width, cfg.height)
+    _, _, _, fid = render_mesh(mb, cam, cfg, max_pairs=1 << 18,
+                               interpret=True)
+    origins, dirs, thr, mask, _ = secondary_spawn(
+        cam, cfg, mb, fid.astype(jnp.int32),
+        jnp.ones((cfg.height, cfg.width)))
+    assert bool(mask.any())
+
+    rad = trace_secondary(splats, cam, cfg, mb, origins, dirs, thr,
+                          max_bounces=1)
+
+    res = trace_splats(splats, origins, dirs,
+                       jnp.full(origins.shape[:1], 1e-3),
+                       jnp.full(origins.shape[:1], jnp.inf), cfg)
+    expected = thr * res.radiance
+    # reflected rays leave the floor upward: no second mesh hit, so the
+    # bounce radiance is exactly throughput x splat integration
+    np.testing.assert_allclose(np.asarray(rad), np.asarray(expected),
+                               atol=1e-5)
+    assert float(jnp.abs(rad).max()) > 0.0
+
+
+def test_composed_wavefront_pipeline_adds_reflection():
+    from vk_gaussian_splatting_tpu.render.pipelines import (
+        render_composed_wavefront,
+    )
+
+    cfg = RenderConfig(width=48, height=32, sh_degree=1)
+    splats = random_splats(jax.random.key(0), 300, sh_degree=1,
+                           extent=1.5).prepare()
+    mb = _mirror_mesh()
+    cam = look_at([0, 0.5, -7], [0, -0.8, 0], [0, 1, 0],
+                  cfg.width, cfg.height)
+    out, final = render_composed_wavefront(splats, cam, cfg, mesh=mb,
+                                           max_bounces=2, interpret=True)
+    base = np.asarray(out.image)
+    fin = np.asarray(final)
+    assert np.isfinite(fin).all()
+    added = (fin - base).max(axis=-1)
+    assert added.max() > 0.01           # reflections contribute
+    assert (added > 1e-3).mean() < 0.6  # but only on the mirror region
+
+
+def test_composed_wavefront_refraction_finite():
+    from vk_gaussian_splatting_tpu.render.pipelines import (
+        render_composed_wavefront,
+    )
+
+    glass = ObjMaterial(name="glass", diffuse=(0.02, 0.02, 0.02),
+                        specular=(0.1, 0.1, 0.1),
+                        transmittance=(0.9, 0.9, 0.9), ior=1.5, illum=2)
+    cfg = RenderConfig(width=32, height=24, sh_degree=0)
+    splats = random_splats(jax.random.key(1), 200, sh_degree=0).prepare()
+    # glass pane between camera and splats
+    pos = np.array([[-3, -3, -3], [3, -3, -3], [3, 3, -3], [-3, 3, -3]],
+                   np.float32)
+    nrm = np.tile(np.array([[0, 0, -1]], np.float32), (4, 1))
+    idx = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    mesh = ObjMesh(positions=pos, normals=nrm, indices=idx,
+                   mat_indices=np.array([0, 0], np.int32), materials=[glass])
+    mb = mesh_buffers_from_obj(mesh)
+    cam = look_at([0, 0, -7], [0, 0, 0], [0, 1, 0], cfg.width, cfg.height)
+    out, final = render_composed_wavefront(splats, cam, cfg, mesh=mb,
+                                           max_bounces=3, interpret=True)
+    fin = np.asarray(final)
+    assert np.isfinite(fin).all()
+    # refracted splat light passes through the pane
+    assert float((fin - np.asarray(out.image)).max()) > 1e-3
+
+
+def test_trace_splats_differentiable():
+    cfg = RenderConfig(width=8, height=8, sh_degree=0)
+    splats = random_splats(jax.random.key(5), 100, sh_degree=0).prepare()
+    r = 32
+    orig, d = _ray_batch(jax.random.key(6), r, spread=0.05, cone=0.2)
+
+    def loss(means):
+        s = dataclasses.replace(splats, means=means)
+        res = trace_splats(s, orig, d, jnp.zeros(r), jnp.full(r, jnp.inf),
+                           cfg, chunk=64, ray_block=32)
+        return jnp.sum(res.radiance ** 2)
+
+    g = jax.grad(loss)(splats.means)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0.0

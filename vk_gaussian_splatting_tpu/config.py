@@ -104,6 +104,7 @@ class RtConfig:
     alpha_min: float = 0.01       # hit response cull (threedgrt.h.slang:149-160)
     use_aabbs: bool = False       # AABB proxies instead of icosahedron (prmRtxData)
     kernel_scale_deg0: float = 3.0
+    max_bounces: int = 3          # wavefront bounce cap (FrameInfo.rtxMaxBounces, shaderio.h:273)
 
 
 @dataclasses.dataclass(frozen=True)

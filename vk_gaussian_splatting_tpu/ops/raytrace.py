@@ -1,0 +1,310 @@
+"""Splat + mesh ray tracing for arbitrary ray batches (secondary bounces).
+
+The reference marches particle hits per ray through a BVH with a K=18 sorted
+k-buffer and multi-pass tMin advance (threedgrt_raytrace.rgen.slang:615-818),
+and intersects meshes with a closest-hit trace that clips the particle range
+(rgen:495-553). Neither a BVH nor per-ray dynamic marching maps to the TPU;
+this module re-expresses both as dense, statically-shaped batch programs:
+
+- ``trace_splats``: splats pre-sort ONCE by euclidean distance to the ray
+  batch's origin centroid (the radial order the primary 3DGRT path validates
+  at 44 dB vs an exact per-ray-t oracle — render/pipelines.py render_3dgrt),
+  then a ``lax.scan`` over attribute chunks composes front-to-back: within a
+  chunk an exclusive cumprod gives local order, across chunks the carried
+  transmittance does. Secondary-bounce batches have tightly clustered origins
+  (points on one reflective/refractive surface), which is exactly the regime
+  where the shared-origin radial order is accurate. Per-ray [t_min, t_max]
+  windows replace the reference's tMin advance / tMax mesh clip.
+- ``trace_mesh``: brute-force Moller-Trumbore closest hit over face chunks —
+  scene meshes are small (OBJ furniture, thousands of faces), so the dense
+  (rays x faces) sweep beats any traversal structure on the VPU.
+
+Everything is differentiable by construction (no custom VJPs needed: sorts
+carry attributes as payloads, the permutation itself gets no cotangent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from vk_gaussian_splatting_tpu.config import RenderConfig
+from vk_gaussian_splatting_tpu.ops.binning import _stable_key_sort
+from vk_gaussian_splatting_tpu.ops.response import kernel_response
+from vk_gaussian_splatting_tpu.ops.sh import eval_sh_radiance
+from vk_gaussian_splatting_tpu.scene.splat_set import (
+    PreparedSplats,
+    dequantize_sh,
+)
+
+KERNEL_MIN_RESPONSE = 0.0113  # particleProcessHit cull (threedgrt.h.slang:160)
+
+
+def splat_view_colors(prepared: PreparedSplats, origin: jax.Array,
+                      cfg: RenderConfig):
+    """(color (N,3), opacity (N,)) as seen from ``origin`` — the SH radiance
+    evaluation of particleProcessHit (threedgrt.h.slang:196-214) with the
+    per-ray direction approximated by origin->splat (exact for the splat
+    center the kernel peaks at)."""
+    rgb = prepared.color[:, :3]
+    if cfg.sh_degree >= 1 and prepared.sh.shape[1] > 0:
+        dirs = prepared.means - origin
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
+        rgb = rgb + eval_sh_radiance(dequantize_sh(prepared.sh), dirs,
+                                     cfg.sh_degree)
+        rgb = jnp.clip(rgb, 0.0, None)
+    return rgb, prepared.color[:, 3] * cfg.opacity_gain
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TraceResult:
+    radiance: jax.Array        # (R, 3) integrated splat radiance
+    transmittance: jax.Array   # (R,) remaining transmittance
+    depth: jax.Array           # (R,) iso-surface depth (t where T crosses
+    #                            depth_iso; 0 = never crossed — rgen:728-741)
+
+
+def _splat_rows(prepared: PreparedSplats, colors, opacities, sort_key):
+    """(14, N) splat rows radially pre-sorted: pos 0-2, scale 3-5, quat 6-9,
+    rgb 10-12, opacity 13."""
+    scl = jnp.exp(prepared.scales_log)
+    quats = prepared.quats / jnp.linalg.norm(
+        prepared.quats, axis=-1, keepdims=True).clip(1e-12)
+    rows = (
+        prepared.means[:, 0], prepared.means[:, 1], prepared.means[:, 2],
+        scl[:, 0], scl[:, 1], scl[:, 2],
+        quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3],
+        colors[:, 0], colors[:, 1], colors[:, 2],
+        opacities,
+    )
+    _, sorted_rows = _stable_key_sort(sort_key, rows)
+    return jnp.stack(sorted_rows, axis=0)
+
+
+def _chunk_alpha_t(block, o, d, kernel_degree, alpha_min, alpha_clamp,
+                   splat_scale):
+    """Per (ray, splat-in-chunk) response: alpha (R,C) and world-units hit
+    parameter t (R,C). o/d: (R,3) origins and unit directions.
+
+    The canonical-frame math of threedgrt.h.slang:57-81 — K<=3 contractions
+    expanded as broadcast FMAs (MXU dot_generals are bf16-grade in-kernel and
+    unnecessary here)."""
+    pos = [block[i][None, :] for i in range(3)]            # (1,C)
+    scl = [jnp.maximum(block[3 + i][None, :] * splat_scale, 1e-12)
+           for i in range(3)]
+    qw, qx, qy, qz = (block[6 + i][None, :] for i in range(4))
+    op = block[13][None, :]
+
+    r = [
+        [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz), 2 * (qx * qz + qw * qy)],
+        [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qw * qx)],
+        [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx), 1 - 2 * (qx * qx + qy * qy)],
+    ]
+    o_r = [o[:, i:i + 1] for i in range(3)]                # (R,1)
+    d_r = [d[:, i:i + 1] for i in range(3)]
+
+    oc, dc = [], []
+    for j in range(3):
+        o_j = (r[0][j] * (o_r[0] - pos[0]) + r[1][j] * (o_r[1] - pos[1])
+               + r[2][j] * (o_r[2] - pos[2])) / scl[j]
+        d_j = (r[0][j] * d_r[0] + r[1][j] * d_r[1] + r[2][j] * d_r[2]) / scl[j]
+        oc.append(o_j)
+        dc.append(d_j)
+    dd = dc[0] * dc[0] + dc[1] * dc[1] + dc[2] * dc[2]
+    # world-units max-response parameter (rint:159-172)
+    t_hit = -(oc[0] * dc[0] + oc[1] * dc[1] + oc[2] * dc[2]) \
+        / jnp.maximum(dd, 1e-20)
+    dn = jax.lax.rsqrt(dd + 1e-30)
+    dcn = [x * dn for x in dc]
+    cr0 = dcn[1] * oc[2] - dcn[2] * oc[1]
+    cr1 = dcn[2] * oc[0] - dcn[0] * oc[2]
+    cr2 = dcn[0] * oc[1] - dcn[1] * oc[0]
+    dist_sq = cr0 * cr0 + cr1 * cr1 + cr2 * cr2
+
+    resp = kernel_response(dist_sq, kernel_degree)
+    a_raw = op * resp
+    mask = (a_raw > alpha_min) & (resp > KERNEL_MIN_RESPONSE)
+    return jnp.where(mask, jnp.minimum(a_raw, alpha_clamp), 0.0), t_hit
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk", "ray_block"))
+def trace_splats(
+    prepared: PreparedSplats,
+    origins: jax.Array,        # (R, 3)
+    dirs: jax.Array,           # (R, 3) unit
+    t_min: jax.Array,          # (R,) window start (self-hit bias)
+    t_max: jax.Array,          # (R,) window end (mesh hit distance or inf)
+    cfg: RenderConfig,
+    chunk: int = 512,
+    ray_block: int = 1024,
+) -> TraceResult:
+    """Integrate splats along arbitrary rays front-to-back within per-ray
+    [t_min, t_max] windows. Radial pre-sort + chunked scan (module docstring).
+    """
+    n = prepared.num_splats
+    r_total = origins.shape[0]
+    centroid = origins.mean(axis=0)
+    colors, opac = splat_view_colors(prepared, centroid, cfg)
+    sort_key = jnp.linalg.norm(prepared.means - centroid, axis=-1)
+    rows = _splat_rows(prepared, colors, opac, sort_key)   # (14, N)
+
+    n_pad = -(-n // chunk) * chunk
+    if n_pad > n:
+        rows = jnp.pad(rows, ((0, 0), (0, n_pad - n)))     # opacity pad = 0
+    chunks = rows.reshape(14, n_pad // chunk, chunk).transpose(1, 0, 2)
+
+    rb = min(ray_block, max(r_total, 1))
+    r_pad = -(-r_total // rb) * rb
+    pad = r_pad - r_total
+
+    def pad_r(a):
+        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+
+    o_b = pad_r(origins).reshape(r_pad // rb, rb, 3)
+    d_b = pad_r(dirs).reshape(r_pad // rb, rb, 3)
+    tmin_b = pad_r(t_min).reshape(r_pad // rb, rb)
+    tmax_b = pad_r(t_max).reshape(r_pad // rb, rb)
+
+    rc = cfg.rt
+    iso = cfg.raster.depth_iso_threshold
+
+    def one_block(args):
+        o, d, tmin, tmax = args
+
+        def body(carry, blk):
+            rad, trans, iso_d = carry
+            alpha, t_hit = _chunk_alpha_t(
+                blk, o, d, rc.kernel_degree, rc.alpha_min, rc.alpha_clamp,
+                cfg.splat_scale)
+            alpha = jnp.where(
+                (t_hit > tmin[:, None]) & (t_hit < tmax[:, None]), alpha, 0.0)
+            q = 1.0 - alpha
+            t_excl = jnp.concatenate(
+                [jnp.ones_like(q[:, :1]), jnp.cumprod(q, axis=1)[:, :-1]],
+                axis=1)
+            w = alpha * t_excl * trans[:, None]            # (R, C)
+            col = blk[10:13].T                             # (C, 3)
+            rad = rad + jnp.matmul(w, col,
+                                   precision=jax.lax.Precision.HIGHEST)
+            t_run = trans * jnp.cumprod(q, axis=1)[:, -1]
+            # iso-depth pick: first t where running T crosses below iso
+            t_inner = trans[:, None] * t_excl * q
+            crossed = (t_inner < iso) & (iso_d == 0.0)[:, None]
+            first = jnp.argmax(crossed, axis=1)
+            any_c = jnp.any(crossed, axis=1)
+            picked = jnp.take_along_axis(t_hit, first[:, None], axis=1)[:, 0]
+            iso_d = jnp.where(any_c & (iso_d == 0.0), picked, iso_d)
+            return (rad, t_run, iso_d), None
+
+        init = (jnp.zeros((rb, 3), jnp.float32), jnp.ones((rb,), jnp.float32),
+                jnp.zeros((rb,), jnp.float32))
+        (rad, trans, iso_d), _ = jax.lax.scan(body, init, chunks)
+        return rad, trans, iso_d
+
+    rad, trans, iso_d = jax.lax.map(one_block, (o_b, d_b, tmin_b, tmax_b))
+    return TraceResult(
+        radiance=rad.reshape(r_pad, 3)[:r_total],
+        transmittance=trans.reshape(r_pad)[:r_total],
+        depth=iso_d.reshape(r_pad)[:r_total],
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MeshHit:
+    t: jax.Array        # (R,) hit distance (inf = miss)
+    face: jax.Array     # (R,) i32 face id (-1 = miss)
+    hit: jax.Array      # (R,) bool
+
+
+@partial(jax.jit, static_argnames=("chunk", "ray_block"))
+def trace_mesh(
+    positions: jax.Array,    # (V, 3)
+    indices: jax.Array,      # (F, 3) i32
+    origins: jax.Array,      # (R, 3)
+    dirs: jax.Array,         # (R, 3)
+    t_min: jax.Array,        # (R,)
+    chunk: int = 256,
+    ray_block: int = 2048,
+) -> MeshHit:
+    """Closest-hit Moller-Trumbore over face chunks (the mesh closest-hit
+    trace of rgen:495-553 without a TLAS)."""
+    v0 = positions[indices[:, 0]]                          # (F,3)
+    e1 = positions[indices[:, 1]] - v0
+    e2 = positions[indices[:, 2]] - v0
+    f = v0.shape[0]
+    f_pad = -(-f // chunk) * chunk
+
+    def padf(a):
+        return jnp.pad(a, ((0, f_pad - f), (0, 0)))
+
+    tri = jnp.stack([padf(v0), padf(e1), padf(e2)], axis=0)  # (3, Fp, 3)
+    tri_chunks = tri.reshape(3, f_pad // chunk, chunk, 3).transpose(1, 0, 2, 3)
+    base = jnp.arange(f_pad // chunk, dtype=jnp.int32) * chunk
+
+    r_total = origins.shape[0]
+    rb = min(ray_block, max(r_total, 1))
+    r_pad = -(-r_total // rb) * rb
+    pad = r_pad - r_total
+    o_b = jnp.pad(origins, ((0, pad), (0, 0))).reshape(r_pad // rb, rb, 3)
+    d_b = jnp.pad(dirs, ((0, pad), (0, 0))).reshape(r_pad // rb, rb, 3)
+    tm_b = jnp.pad(t_min, (0, pad)).reshape(r_pad // rb, rb)
+
+    def one_block(args):
+        o, d, tmin = args
+
+        def body(carry, xs):
+            best_t, best_f = carry
+            blk, fbase = xs
+            cv0, ce1, ce2 = blk[0], blk[1], blk[2]         # (C,3)
+            # Moller-Trumbore, broadcast (R,1,3) x (1,C,3)
+            pvec = jnp.cross(d[:, None, :], ce2[None])     # (R,C,3)
+            det = jnp.sum(pvec * ce1[None], axis=-1)
+            inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+            tvec = o[:, None, :] - cv0[None]
+            u = jnp.sum(tvec * pvec, axis=-1) * inv
+            qvec = jnp.cross(tvec, ce1[None])
+            v = jnp.sum(qvec * d[:, None, :], axis=-1) * inv
+            t = jnp.sum(qvec * ce2[None], axis=-1) * inv
+            ok = ((jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0)
+                  & (u + v <= 1) & (t > tmin[:, None]))
+            t = jnp.where(ok, t, jnp.inf)
+            cmin = jnp.min(t, axis=1)
+            carg = jnp.argmin(t, axis=1).astype(jnp.int32) + fbase
+            better = cmin < best_t
+            return (jnp.where(better, cmin, best_t),
+                    jnp.where(better, carg, best_f)), None
+
+        init = (jnp.full((rb,), jnp.inf), jnp.full((rb,), -1, jnp.int32))
+        (bt, bf), _ = jax.lax.scan(body, init, (tri_chunks, base))
+        return bt, bf
+
+    bt, bf = jax.lax.map(one_block, (o_b, d_b, tm_b))
+    bt = bt.reshape(r_pad)[:r_total]
+    bf = bf.reshape(r_pad)[:r_total]
+    hit = jnp.isfinite(bt) & (bf < f)
+    return MeshHit(t=jnp.where(hit, bt, jnp.inf),
+                   face=jnp.where(hit, bf, -1), hit=hit)
+
+
+def reflect(d: jax.Array, n: jax.Array) -> jax.Array:
+    return d - 2.0 * jnp.sum(d * n, axis=-1, keepdims=True) * n
+
+
+def refract_or_reflect(d: jax.Array, n: jax.Array, ior: jax.Array):
+    """Refraction with inside-flip + total-internal-reflection fallback
+    (wavefront.h.slang illum>=2 dispatch). d unit incident, n outward normal,
+    ior (R,) material index. Returns the new unit direction."""
+    cos_in = jnp.sum(d * n, axis=-1, keepdims=True)
+    inside = cos_in > 0.0
+    nn = jnp.where(inside, -n, n)
+    eta = jnp.where(inside[..., 0], ior, 1.0 / ior)[..., None]
+    ci = -jnp.sum(d * nn, axis=-1, keepdims=True)
+    k = 1.0 - eta * eta * (1.0 - ci * ci)
+    refr = eta * d + (eta * ci - jnp.sqrt(jnp.maximum(k, 0.0))) * nn
+    refr = refr / jnp.linalg.norm(refr, axis=-1, keepdims=True).clip(1e-12)
+    return jnp.where(k > 0.0, refr, reflect(d, nn))

@@ -50,13 +50,21 @@ from vk_gaussian_splatting_tpu.scene.lights import compute_light, headlight
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class MeshBuffers:
-    """Device triangle soup (MeshVk vertex/index/material buffers)."""
+    """Device triangle soup (MeshVk vertex/index/material buffers) with the
+    per-face ObjMaterial fields the wavefront bounce dispatch needs
+    (wavefront.h:28-50)."""
 
     positions: jax.Array    # (V,3)
     normals: jax.Array      # (V,3)
     indices: jax.Array      # (F,3) i32
     face_colors: jax.Array  # (F,3) material diffuse per face
     face_emission: jax.Array  # (F,3)
+    face_ambient: jax.Array       # (F,3)
+    face_specular: jax.Array      # (F,3)
+    face_shininess: jax.Array     # (F,)
+    face_transmittance: jax.Array  # (F,3) refractive filter (illum>=2)
+    face_ior: jax.Array           # (F,)
+    face_illum: jax.Array         # (F,) i32 0 opaque / 1 mirror / >=2 glass
 
 
 def mesh_buffers_from_obj(mesh: ObjMesh, transform: np.ndarray | None = None
@@ -70,14 +78,24 @@ def mesh_buffers_from_obj(mesh: ObjMesh, transform: np.ndarray | None = None
         nrm = (nrm @ rinv.T).astype(np.float32)
         nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-12)
     mats = mesh.materials
-    diffuse = np.asarray(
-        [mats[i].diffuse for i in mesh.mat_indices], np.float32).reshape(-1, 3)
-    emission = np.asarray(
-        [mats[i].emission for i in mesh.mat_indices], np.float32).reshape(-1, 3)
+    mi = mesh.mat_indices
+
+    def per_face(attr, width):
+        return np.asarray([getattr(mats[i], attr) for i in mi],
+                          np.float32).reshape(-1, width)
+
     return MeshBuffers(
         positions=jnp.asarray(pos), normals=jnp.asarray(nrm),
         indices=jnp.asarray(mesh.indices, jnp.int32),
-        face_colors=jnp.asarray(diffuse), face_emission=jnp.asarray(emission),
+        face_colors=jnp.asarray(per_face("diffuse", 3)),
+        face_emission=jnp.asarray(per_face("emission", 3)),
+        face_ambient=jnp.asarray(per_face("ambient", 3)),
+        face_specular=jnp.asarray(per_face("specular", 3)),
+        face_shininess=jnp.asarray(per_face("shininess", 1)[:, 0]),
+        face_transmittance=jnp.asarray(per_face("transmittance", 3)),
+        face_ior=jnp.asarray(per_face("ior", 1)[:, 0]),
+        face_illum=jnp.asarray(
+            np.asarray([mats[i].illum for i in mi], np.int32)),
     )
 
 

@@ -381,6 +381,63 @@ def render_hybrid(
     return render_out, shaded, normal_img
 
 
+@partial(jax.jit, static_argnames=("cfg", "max_pairs", "max_bounces",
+                                   "stride", "interpret"))
+def render_composed_wavefront(
+    prepared: PreparedSplats,
+    cam: Camera,
+    cfg: RenderConfig,
+    max_pairs: int = 0,
+    mesh=None,
+    lights: tuple = (),
+    max_bounces: int | None = None,
+    stride: int = 1,
+    shadow_fn=None,
+    interpret: bool | None = None,
+):
+    """Splat/mesh composite + wavefront secondary bounces: pixels whose mesh
+    face is reflective (illum 1) or refractive (illum>=2) continue as a
+    secondary ray batch traced against meshes + splats (render/wavefront.py —
+    the reflect/refract bounce loop of rgen:244-337 on the raster primary
+    pass). Returns (RenderOutput, image-with-bounces)."""
+    from vk_gaussian_splatting_tpu.render.mesh_raster import (
+        depth_limit_pix_ctx,
+        render_mesh,
+    )
+    from vk_gaussian_splatting_tpu.render.wavefront import (
+        add_secondary_radiance,
+        secondary_spawn,
+        trace_secondary,
+    )
+
+    mesh_img, mesh_trans, mesh_depth, fid = render_mesh(
+        mesh, cam, cfg, max_pairs, lights, interpret)
+
+    proj = project_splats(prepared, cam, cfg)
+    bins = bin_for_cfg(proj, gs_attr_rows(proj), cfg, max_pairs)
+    st = dataclasses.replace(raster_statics(cfg, interpret),
+                             model="gs2d_clip")
+    pix_ctx = depth_limit_pix_ctx(mesh_depth, cfg)
+    out = rasterize_bins(bins, pix_ctx, None, st)
+    img, trans, depth, splat_id = assemble_image(
+        out, bins.seg_counts, st.tiles_x, st.tiles_y, cfg.width, cfg.height,
+        (0.0, 0.0, 0.0), with_aux=True)
+
+    base = img + trans[..., None] * mesh_img
+    covered_mesh = mesh_trans < 0.5
+    combined_depth = jnp.where((depth == 0) & covered_mesh, mesh_depth, depth)
+    render_out = RenderOutput(
+        image=base, transmittance=trans * mesh_trans, depth=combined_depth,
+        splat_id=splat_id, num_pairs=bins.num_pairs, overflow=bins.overflow)
+
+    origins, dirs, throughput, _, shape_lr = secondary_spawn(
+        cam, cfg, mesh, fid.astype(jnp.int32), trans, stride)
+    radiance = trace_secondary(prepared, cam, cfg, mesh, origins, dirs,
+                               throughput, lights, shadow_fn, max_bounces)
+    final = add_secondary_radiance(base, radiance, shape_lr, cfg)
+    return render_out, final
+
+
 def render(prepared: PreparedSplats, cam: Camera, cfg: RenderConfig,
            max_pairs: int = 0, **kw) -> RenderOutput:
     """Pipeline dispatch (shaderio.h:61-66 pipeline ids)."""
