@@ -114,3 +114,41 @@ def test_gradients_finite_difference():
         np.testing.assert_allclose(g[i, j], fd, rtol=5e-2, atol=2e-3)
         checked += 1
     assert checked >= 2
+
+
+def test_packed_pair_format_matches_f32():
+    """gs2dp packed rows (bf16/u16 pairs, exact xy) must stay visually
+    indistinguishable from the f32 path (gate well above the reference's own
+    52.8 dB conic-vs-eigen acceptance, doc/rasterization_of_3dgut.md:45)."""
+    import dataclasses
+
+    cfg = RenderConfig(width=160, height=120, sh_degree=2)
+    splats = random_splats(jax.random.key(0), 2000, sh_degree=2).prepare()
+    cam = look_at([0.4, -0.8, -7], [0, 0, 0], [0, 1, 0],
+                  cfg.width, cfg.height)
+    o1 = render_3dgs(splats, cam, cfg, max_pairs=1 << 18)
+    cfgp = cfg.replace(raster=dataclasses.replace(cfg.raster,
+                                                  pair_format="packed"))
+    o2 = render_3dgs(splats, cam, cfgp, max_pairs=1 << 18)
+    i1, i2 = np.asarray(o1.image), np.asarray(o2.image)
+    mse = float(np.mean((i1 - i2) ** 2))
+    psnr = 10 * np.log10(max(float(i1.max()), 1.0) ** 2 / max(mse, 1e-12))
+    assert psnr > 55.0, psnr
+    # id picks stay consistent except at quantization-flipped iso crossings
+    assert (np.asarray(o1.splat_id) == np.asarray(o2.splat_id)).mean() > 0.99
+
+
+def test_packed_pair_format_no_backward():
+    import dataclasses
+
+    cfg = RenderConfig(width=32, height=32, sh_degree=0)
+    cfgp = cfg.replace(raster=dataclasses.replace(cfg.raster,
+                                                  pair_format="packed"))
+    splats = random_splats(jax.random.key(1), 100, sh_degree=0).prepare()
+    cam = look_at([0, 0, -7], [0, 0, 0], [0, 1, 0], cfg.width, cfg.height)
+
+    def loss(s):
+        return jnp.sum(render_3dgs(s, cam, cfgp, max_pairs=1 << 14).image)
+
+    with pytest.raises(NotImplementedError):
+        jax.grad(loss)(splats)

@@ -90,6 +90,11 @@ class RasterConfig:
     depth_iso_threshold: float = 0.7  # depth picking T threshold (parameters.h:200)
     size_culling: bool = False
     size_culling_min_px: float = 1.0
+    # pair-attribute precision through the binning sorts (the analog of the
+    # reference's fp32/fp16 shformat tiers): "f32" = full precision +
+    # differentiable; "packed" = bf16-pair + fixed-point-xy words, ~half the
+    # sort payloads — forward/rendering only (bit packing has no gradient)
+    pair_format: str = "f32"
 
 
 @dataclasses.dataclass(frozen=True)

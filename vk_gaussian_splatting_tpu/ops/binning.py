@@ -7,21 +7,22 @@ shapes and atomics — and, measured on v5e, *random gathers and searchsorted
 are 10-60x slower than sorts and scans*. The design therefore avoids
 per-pair gathers entirely:
 
-1. splats pre-sort by depth at N-level, carrying ALL render attributes as
-   sort payloads (one variadic lax.sort). Payload width is the sort's cost
-   driver on TPU (measured: 16M rows go 84ms -> 352ms from 1 to 18
-   payloads), so nothing redundant rides along: the splat id is NOT a
-   separate payload — by convention the LAST attribute row is the splat id
-   (ops/response.py ID_ROW is last in every layout) and pair_splat derives
-   from it after the sorts;
-2. **slot expansion**: every splat broadcasts its attribute row to K
+1. **slot expansion**: every splat broadcasts its attribute row to K
    contiguous tile-slots (pure reshape/broadcast — no searchsorted); the
    covered tile rectangle is clamped to at most K tiles around the splat
    center (overflow reported; an exact searchsorted-based expansion remains
    for giant-splat scenes);
-3. pairs sort by a single stable tile key, again carrying the attributes as
-   payloads — depth order within tiles is inherited from the pre-sort;
-4. a small **blend schedule** replaces physical chunk alignment: each step is
+2. pairs sort ONCE by the two keys (tile, view depth) — one unstable
+   variadic ``lax.sort`` carrying all render attributes as payloads. This
+   replaces the earlier depth-presort + stable tile sort: XLA lowers a
+   stable sort by appending an iota tiebreak operand, so the unstable
+   two-key sort has the same operand count as the stable one-key sort had,
+   and the N-level presort disappears entirely. Payload width is the sort's
+   cost driver (measured at 16M rows: ~54ms + ~13ms/payload), so nothing
+   redundant rides along: the splat id is NOT a separate payload — by
+   convention the LAST attribute row is the splat id (ops/response.py
+   ID_ROW is last in every layout) and pair_splat derives from it;
+3. a small **blend schedule** replaces physical chunk alignment: each step is
    (tile, 128-lane block, lane range) so segments may start mid-block; the
    Pallas kernel DMAs blocks at provably-aligned offsets and masks lanes.
    Shared boundary blocks simply appear in two steps.
@@ -43,28 +44,38 @@ from vk_gaussian_splatting_tpu.ops.projection import ProjectedSplats
 NUM_ATTRS = 16  # widest layout (gut3d); attrs carry exactly the model's rows
 
 # XLA's TPU sort cost is flat in operand count up to 14 operands, then
-# jumps ~3x (measured on v5e at 16M rows: 14 ops 15.6ms -> 15 ops 44.4ms).
-# Sorts with more payloads split into several stable sorts on the same key:
-# stability makes every split apply the identical permutation.
+# jumps ~3x. Sorts with more operands split into several sorts on the same
+# key(s); each split then needs stability (the identical permutation across
+# splits), which XLA implements by appending an iota operand.
 MAX_SORT_OPS = 14
 
 
-def _stable_key_sort(key: jax.Array, payloads: tuple):
-    """(sorted_key, sorted_payloads) — stable single-key sort, split into
-    cliff-sized pieces (see MAX_SORT_OPS)."""
-    max_pay = MAX_SORT_OPS - 1
+def _key_sort(keys: tuple, payloads: tuple, is_stable: bool = False):
+    """Multi-key sort carrying payloads, split into cliff-sized pieces
+    (see MAX_SORT_OPS). Single-piece sorts stay unstable (one fewer internal
+    operand); split sorts force stability so every piece applies the same
+    permutation."""
+    nk = len(keys)
+    max_pay = MAX_SORT_OPS - nk
     if len(payloads) <= max_pay:
-        res = jax.lax.sort((key,) + tuple(payloads), num_keys=1,
-                           is_stable=True)
-        return res[0], res[1:]
+        res = jax.lax.sort(keys + tuple(payloads), num_keys=nk,
+                           is_stable=is_stable)
+        return res[:nk], res[nk:]
     out = []
-    skey = None
+    skeys = None
     for i in range(0, len(payloads), max_pay):
-        res = jax.lax.sort((key,) + tuple(payloads[i:i + max_pay]),
-                           num_keys=1, is_stable=True)
-        skey = res[0]
-        out.extend(res[1:])
-    return skey, tuple(out)
+        res = jax.lax.sort(keys + tuple(payloads[i:i + max_pay]),
+                           num_keys=nk, is_stable=True)
+        skeys = res[:nk]
+        out.extend(res[nk:])
+    return skeys, tuple(out)
+
+
+def _stable_key_sort(key: jax.Array, payloads: tuple):
+    """(sorted_key, sorted_payloads) — stable single-key sort (used by the
+    secondary-ray tracer and the binning backward)."""
+    keys, pays = _key_sort((key,), payloads, is_stable=True)
+    return keys[0], pays
 
 
 @jax.tree_util.register_dataclass
@@ -132,6 +143,16 @@ def schedule_capacity(pair_budget: int, num_tiles: int, chunk: int) -> int:
     return -(-pair_budget // chunk) + num_tiles
 
 
+def _class_caps(n: int):
+    """(cap_g, cap_m) rank-ladder boundaries: columns [0, cap_g) get the
+    giant window, [cap_g, cap_m) the mid window, [cap_m, n) the small one.
+    Heavy-tail fractions with floors so small scenes (light-view shadow
+    maps, test blobs) keep full coverage."""
+    cap_g = min(n, max(-(-n // 64), 256))
+    cap_m = min(n, max(-(-n // 4), cap_g + 2048))
+    return cap_g, max(cap_m, cap_g)
+
+
 def _bin_impl(
     proj: ProjectedSplats,
     attr_rows: jax.Array,          # (R<=16, N) per-splat render attributes
@@ -145,7 +166,8 @@ def _bin_impl(
     sched_budget: int = 0,         # live-pair bound for the schedule (0=auto)
     front_to_back: bool = True,
     expansion: str = "slots",
-    need_pos: bool = True,         # carry the pre-sort position payload
+    classes: bool = True,          # class-based slot budgets (see 2a)
+    need_pos: bool = True,         # carry the pair position payload
                                    # (only the custom-VJP fwd needs it)
 ):
     num_tiles = tiles_x * tiles_y
@@ -155,69 +177,148 @@ def _bin_impl(
     n = proj.xy.shape[0]
     r = attr_rows.shape[0]
 
-    # ---- 1. depth pre-sort at splat level, attributes as payloads ----------
+    # ---- 1. per-splat tile rects + depth key ------------------------------
     dkey = jnp.where(proj.valid, proj.depth if front_to_back else -proj.depth,
                      jnp.inf)
     x0, y0, x1, y1 = tile_rect(proj.xy, proj.radius, tile_size,
                                tiles_x, tiles_y)
     valid0 = (proj.valid & (proj.radius.max(axis=1) > 0)
               & (x1 > x0) & (y1 > y0))
-    cx0 = (proj.xy[:, 0] / tile_size).astype(jnp.int32)
-    cy0 = (proj.xy[:, 1] / tile_size).astype(jnp.int32)
-    ids0 = jnp.arange(n, dtype=jnp.int32)
-    payloads = (x0, y0, x1, y1, cx0, cy0,
-                valid0.astype(jnp.int32), ids0) + tuple(attr_rows)
-    _, sorted_ops = _stable_key_sort(dkey, payloads)
-    (x0, y0, x1, y1, cx, cy, valid_s, sids) = sorted_ops[:8]
-    rows_s = sorted_ops[8:]
-    valid_s = valid_s > 0
-
-    w = jnp.maximum(x1 - x0, 0)
-    h = jnp.maximum(y1 - y0, 0)
 
     if expansion == "slots":
-        # ---- 2a. K-slot expansion: clamp the rect to at most K tiles
-        # centred on the splat's own tile, then broadcast ------------------
-        k = slots_k
+        # ---- 2a. rank-ladder slot expansion ------------------------------
+        # Fixed K slots per splat wastes 3-5x: the tile-coverage distribution
+        # is heavy-tailed (most splats cover <=4 tiles, a few cover dozens)
+        # and sort cost scales with pair count. Splats sort by coverage
+        # (largest first); the top n/64 columns get a 4K-slot window, the
+        # next (to n/4) a K-slot window, the rest K/4 — wider giant coverage
+        # than fixed-K at under half the pairs, and overflow degrades
+        # gracefully (only the smallest over-budget splats truncate). The
+        # (tile, depth) pair sort orders the concatenated streams globally,
+        # so emission order never matters.
+        k_m = slots_k
+        k_a = min(4, k_m)
+        k_g = 4 * k_m
+        use_classes = classes and k_m > k_a
+        cx = (proj.xy[:, 0] / tile_size).astype(jnp.int32)
+        cy = (proj.xy[:, 1] / tile_size).astype(jnp.int32)
+        w = jnp.maximum(x1 - x0, 0)
+        h = jnp.maximum(y1 - y0, 0)
         cx = jnp.clip(cx, x0, jnp.maximum(x1 - 1, x0))
         cy = jnp.clip(cy, y0, jnp.maximum(y1 - 1, y0))
-        wc = jnp.minimum(w, k)
-        hc = jnp.minimum(h, jnp.maximum(k // jnp.maximum(wc, 1), 1))
-        # prefer squarer windows when clamping both dims
-        wc = jnp.minimum(wc, jnp.maximum(k // jnp.maximum(hc, 1), 1))
-        x0c = jnp.clip(cx - wc // 2, x0, jnp.maximum(x1 - wc, x0))
-        y0c = jnp.clip(cy - hc // 2, y0, jnp.maximum(y1 - hc, y0))
-        truncated = (wc * hc) < (w * h)
-        overflow = jnp.any(truncated & valid_s)
+        area = jnp.where(valid0, w * h, 0)
 
-        slot = jnp.broadcast_to(
-            jax.lax.iota(jnp.int32, k)[None, :], (n, k))
-        tx = x0c[:, None] + slot % jnp.maximum(wc, 1)[:, None]
-        ty = y0c[:, None] + slot // jnp.maximum(wc, 1)[:, None]
-        slot_valid = (slot < (wc * hc)[:, None]) & valid_s[:, None]
-        tile = jnp.where(slot_valid, ty * tiles_x + tx, num_tiles)
+        def window(x0, y0, x1, y1, cx, cy, gate, k):
+            """Clamped k-tile window around the splat's own tile: (m, k)
+            tile ids + slot validity for the m leading sorted columns."""
+            m = x0.shape[0]
+            w = jnp.maximum(x1 - x0, 0)
+            h = jnp.maximum(y1 - y0, 0)
+            wc = jnp.minimum(w, k)
+            hc = jnp.minimum(h, jnp.maximum(k // jnp.maximum(wc, 1), 1))
+            # prefer squarer windows when clamping both dims
+            wc = jnp.minimum(wc, jnp.maximum(k // jnp.maximum(hc, 1), 1))
+            x0c = jnp.clip(cx - wc // 2, x0, jnp.maximum(x1 - wc, x0))
+            y0c = jnp.clip(cy - hc // 2, y0, jnp.maximum(y1 - hc, y0))
+            trunc = gate & ((wc * hc) < (w * h))
+            slot = jnp.broadcast_to(jax.lax.iota(jnp.int32, k)[None, :],
+                                    (m, k))
+            tx = x0c[:, None] + slot % jnp.maximum(wc, 1)[:, None]
+            ty = y0c[:, None] + slot // jnp.maximum(wc, 1)[:, None]
+            sv = (slot < (wc * hc)[:, None]) & gate[:, None]
+            tile = jnp.where(sv, ty * tiles_x + tx, num_tiles)
+            return tile, sv, trunc
 
-        p_raw = n * k
-        p_total = -(-p_raw // chunk) * chunk
-        pad = p_total - p_raw
+        if not use_classes:
+            tile, slot_valid, trunc = window(x0, y0, x1, y1, cx, cy, valid0,
+                                             k_m)
+            overflow = jnp.any(trunc)
+            p_raw = n * k_m
+            p_total = -(-p_raw // chunk) * chunk
+            pad = p_total - p_raw
 
-        def bcast(a):
-            flat = jnp.broadcast_to(a[:, None], (n, k)).reshape(p_raw)
-            return jnp.pad(flat, (0, pad))
+            def bcast(a):
+                flat = jnp.broadcast_to(a[:, None], (n, k_m)).reshape(p_raw)
+                return jnp.pad(flat, (0, pad))
 
-        tile_f = jnp.pad(tile.reshape(p_raw).astype(jnp.int32), (0, pad),
-                         constant_values=num_tiles)
-        pair_rows = tuple(bcast(row) for row in rows_s)
-        # pre-sort pair position: the bwd un-permutes d_attrs by sorting on
-        # this payload (inverting a sort via its transpose would lower to
-        # pair-count scatters, 10x slower than one more payload sort)
+            tile_f = jnp.pad(tile.reshape(p_raw).astype(jnp.int32), (0, pad),
+                             constant_values=num_tiles)
+            depth_f = bcast(dkey)
+            pair_rows = tuple(bcast(row) for row in attr_rows)
+            num_pairs = jnp.sum(slot_valid)
+            sids = None
+            regions = None
+        else:
+            if tiles_x > 255 or tiles_y > 255:
+                raise ValueError("class expansion packs tile coords into 8 "
+                                 "bits; shard wider images into bands")
+            cap_g, cap_m = _class_caps(n)
+            # rank-ladder sort: largest tile coverage first, so the widest
+            # windows always go to the splats that need them; the key
+            # doubles as the (cx, cy, valid) payload
+            a12 = jnp.minimum(area, 4095)
+            ckey = (((4095 - a12) << 17)
+                    | (valid0.astype(jnp.int32) << 16)
+                    | (cx << 8) | cy)
+            w_rect = (x0 << 24) | (y0 << 16) | (x1 << 8) | y1
+            (ckey_s,), spay = _key_sort((ckey,),
+                                        (w_rect, dkey) + tuple(attr_rows))
+            w_rect_s, dkey_s = spay[0], spay[1]
+            rows_s = spay[2:]
+            valid_s = ((ckey_s >> 16) & 1) > 0
+            cx_s = (ckey_s >> 8) & 0xFF
+            cy_s = ckey_s & 0xFF
+            x0s = (w_rect_s >> 24) & 0xFF
+            y0s = (w_rect_s >> 16) & 0xFF
+            x1s = (w_rect_s >> 8) & 0xFF
+            y1s = w_rect_s & 0xFF
+            # bwd un-sorts gradients by the carried id row (last attr row)
+            sids = rows_s[r - 1].astype(jnp.int32)
+
+            def region(lo, hi, k):
+                sl = slice(lo, hi)
+                return window(x0s[sl], y0s[sl], x1s[sl], y1s[sl],
+                              cx_s[sl], cy_s[sl], valid_s[sl], k)
+
+            t_g, sv_g, tr_g = region(0, cap_g, k_g)
+            t_m, sv_m, tr_m = region(cap_g, cap_m, k_m)
+            t_a, sv_a, tr_a = region(cap_m, n, k_a)
+            overflow = jnp.any(tr_g) | jnp.any(tr_m) | jnp.any(tr_a)
+
+            p_raw = cap_g * k_g + (cap_m - cap_g) * k_m + (n - cap_m) * k_a
+            p_total = -(-p_raw // chunk) * chunk
+            pad = p_total - p_raw
+
+            def bcast(row):
+                return jnp.concatenate([
+                    jnp.broadcast_to(row[:cap_g, None],
+                                     (cap_g, k_g)).reshape(-1),
+                    jnp.broadcast_to(row[cap_g:cap_m, None],
+                                     (cap_m - cap_g, k_m)).reshape(-1),
+                    jnp.broadcast_to(row[cap_m:, None],
+                                     (n - cap_m, k_a)).reshape(-1),
+                    jnp.zeros((pad,), row.dtype),
+                ])
+
+            tile_f = jnp.concatenate([
+                t_g.reshape(-1), t_m.reshape(-1), t_a.reshape(-1),
+                jnp.full((pad,), num_tiles, jnp.int32)])
+            depth_f = bcast(dkey_s)
+            pair_rows = tuple(bcast(row) for row in rows_s)
+            num_pairs = jnp.sum(sv_a) + jnp.sum(sv_m) + jnp.sum(sv_g)
+
+        # pair position: the bwd un-permutes d_attrs by sorting on this
+        # payload, then per-region reshape-sums yield per-splat gradients
+        # (inverting a sort via its transpose would lower to pair-count
+        # scatters, 10x slower than one more payload)
         pos0 = jnp.arange(p_total, dtype=jnp.int32)
-        num_pairs = jnp.sum(slot_valid)
     else:
         # ---- 2b. exact expansion (searchsorted; slow but uncapped) -------
         assert max_pairs > 0, "exact expansion needs a max_pairs budget"
         max_pairs = -(-max_pairs // chunk) * chunk
-        counts = jnp.where(valid_s, w * h, 0).astype(jnp.int32)
+        w = jnp.maximum(x1 - x0, 0)
+        h = jnp.maximum(y1 - y0, 0)
+        counts = jnp.where(valid0, w * h, 0).astype(jnp.int32)
         starts = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
         total = starts[-1] + counts[-1]
@@ -231,13 +332,16 @@ def _bin_impl(
         ty = y0[s] + rank // ws
         pv = p < total
         tile_f = jnp.where(pv, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
-        pair_rows = tuple(row[s] for row in rows_s)
+        depth_f = dkey[s]
+        pair_rows = tuple(row[s] for row in attr_rows)
         pos0 = jnp.arange(p_total, dtype=jnp.int32)  # unused (autodiff path)
         num_pairs = jnp.minimum(total, p_total)
+        sids = None
 
-    # ---- 3. stable single-key tile sort, attributes as payloads ------------
+    # ---- 3. one unstable (tile, depth) two-key sort, attrs as payloads ----
     pay = ((pos0,) if need_pos else ()) + pair_rows
-    tile_sorted, sorted_pairs = _stable_key_sort(tile_f, pay)
+    skeys, sorted_pairs = _key_sort((tile_f, depth_f), pay)
+    tile_sorted = skeys[0]
     if need_pos:
         pos_sorted = sorted_pairs[0]
         rows_sorted = sorted_pairs[1:]
@@ -326,14 +430,25 @@ def _bin_slots(proj, attr_rows, statics):
 
     Autodiff through the fwd sorts would transpose them into pair-count
     scatters (the 16M-scatter path measured ~2s); instead the bwd sorts
-    d_attrs back to broadcast order by the carried pre-sort position, then a
-    reshape-sum over the K slots and one N-level unsort yield per-splat
-    gradients. No gradient flows through proj here: tile/slot assignment is
-    discrete and sort-key cotangents vanish (sorted keys are discarded), so
-    every differentiable quantity reaches the kernel via attr_rows.
+    d_attrs back to broadcast order by the carried pair position, then
+    per-region (m, k) reshape-sums over the slots yield class-sorted
+    per-splat gradients, un-sorted to splat order by the carried ids. No
+    gradient flows through proj here: tile/slot assignment is discrete and
+    sort-key cotangents vanish (sorted keys are discarded), so every
+    differentiable quantity reaches the kernel via attr_rows.
     """
     bins, _, _ = _bin_impl(proj, attr_rows, need_pos=False, **dict(statics))
     return bins
+
+
+def _regions(statics, n):
+    kw = dict(statics)
+    k_m = kw["slots_k"]
+    k_a = min(4, k_m)
+    if not (kw.get("classes", True) and k_m > k_a):
+        return None
+    cap_g, cap_m = _class_caps(n)
+    return (n, k_a, cap_m, k_m, cap_g, 4 * k_m)
 
 
 def _bin_slots_fwd(proj, attr_rows, statics):
@@ -344,18 +459,29 @@ def _bin_slots_fwd(proj, attr_rows, statics):
 
 def _bin_slots_bwd(statics, res, d_bins):
     pos_sorted, sids, proj, r, n = res
-    k = dict(statics)["slots_k"]
     d_attrs = d_bins.attrs                       # (16, P)
     unsorted = jax.lax.sort(
         (pos_sorted,) + tuple(d_attrs[i] for i in range(r)), num_keys=1,
         is_stable=False)
-    d_pairs = jnp.stack(unsorted[1:], axis=0)[:, :n * k]
-    d_depth_order = d_pairs.reshape(r, n, k).sum(axis=2)
-    back = jax.lax.sort(
-        (sids,) + tuple(d_depth_order[i] for i in range(r)), num_keys=1,
-        is_stable=False)
-    d_rows = jnp.stack(back[1:], axis=0)
-    return _zero_cotangent(proj), d_rows
+    d_pairs = jnp.stack(unsorted[1:], axis=0)    # (r, P) in emit order
+    reg = _regions(statics, n)
+    if reg is None:
+        k = dict(statics)["slots_k"]
+        d_rows = d_pairs[:, :n * k].reshape(r, n, k).sum(axis=2)
+        return _zero_cotangent(proj), d_rows
+    _, k_a, cap_m, k_m, cap_g, k_g = reg
+    og = cap_g * k_g
+    om = og + (cap_m - cap_g) * k_m
+    oa = om + (n - cap_m) * k_a
+    d_sorted = jnp.concatenate([
+        d_pairs[:, :og].reshape(r, cap_g, k_g).sum(axis=2),
+        d_pairs[:, og:om].reshape(r, cap_m - cap_g, k_m).sum(axis=2),
+        d_pairs[:, om:oa].reshape(r, n - cap_m, k_a).sum(axis=2),
+    ], axis=1)
+    # back to original splat order via the carried ids
+    back = jax.lax.sort((sids,) + tuple(d_sorted[i] for i in range(r)),
+                        num_keys=1, is_stable=False)
+    return _zero_cotangent(proj), jnp.stack(back[1:], axis=0)
 
 
 _bin_slots.defvjp(_bin_slots_fwd, _bin_slots_bwd)
@@ -363,7 +489,7 @@ _bin_slots.defvjp(_bin_slots_fwd, _bin_slots_bwd)
 
 @partial(jax.jit, static_argnames=("tile_size", "tiles_x", "tiles_y", "chunk",
                                    "slots_k", "max_pairs", "sched_budget",
-                                   "front_to_back", "expansion"))
+                                   "front_to_back", "expansion", "classes"))
 def bin_splats(
     proj: ProjectedSplats,
     attr_rows: jax.Array,
@@ -377,12 +503,13 @@ def bin_splats(
     sched_budget: int = 0,
     front_to_back: bool = True,
     expansion: str = "slots",
+    classes: bool = True,
 ) -> TileBins:
     kw = dict(tile_size=tile_size, tiles_x=tiles_x, tiles_y=tiles_y,
               chunk=chunk, slots_k=slots_k, max_pairs=max_pairs,
               sched_budget=sched_budget, front_to_back=front_to_back,
-              expansion=expansion)
+              expansion=expansion, classes=classes)
     if expansion == "slots":
         return _bin_slots(proj, attr_rows, tuple(sorted(kw.items())))
-    bins, _, _ = _bin_impl(proj, attr_rows, **kw)
+    bins, _, _ = _bin_impl(proj, attr_rows, need_pos=False, **kw)
     return bins

@@ -55,6 +55,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vk_gaussian_splatting_tpu.ops.response import (
     ALPHA_FNS,
+    COLOR_FNS,
+    DEPTH_FNS,
     DEPTH_ROW,
     ID_ROW,
     USES_PIX_CTX,
@@ -191,6 +193,9 @@ def _make_fwd_kernel(st: RasterStatics):
     uses_pix = USES_PIX_CTX[st.model]
     drow = DEPTH_ROW[st.model]
     idrow = ID_ROW[st.model]
+    color_fn = COLOR_FNS.get(st.model,
+                             lambda blk: blk[ATTR_R:ATTR_B + 1, :])
+    depth_fn = DEPTH_FNS.get(st.model, lambda blk: blk[drow:drow + 1, :])
 
     def kernel(seed_ref, word_ref, block_ref, attrs_ref, *rest):
         if uses_pix:
@@ -253,7 +258,7 @@ def _make_fwd_kernel(st: RasterStatics):
                 excl = _cumprod_exclusive(q)
                 tc = t_col[:, :]
                 w = alpha * excl * tc                          # (256, C)
-                cols = block[ATTR_R:ATTR_B + 1, :]             # (3, C)
+                cols = color_fn(block)                         # (3, C)
                 acc[:, :] = acc[:, :] + jax.lax.dot_general(
                     w, cols, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -267,13 +272,14 @@ def _make_fwd_kernel(st: RasterStatics):
                     jnp.int32, (1, c), 1) * jnp.ones((PIX, 1), jnp.int32)
                 thresholds = (st.iso_thresholds if st.multi_iso
                               else (st.depth_iso,))
+                depth_row = depth_fn(block)                    # (1, C)
                 for i, thr in enumerate(thresholds):
                     cond = (t_after < thr) & (alpha > 0.0)
                     first = jnp.min(jnp.where(cond, lane, 1 << 20), axis=1,
                                     keepdims=True)
                     sel = (lane == first) & cond
                     d_sel = jnp.sum(
-                        jnp.where(sel, block[drow:drow + 1, :], 0.0), axis=1,
+                        jnp.where(sel, depth_row, 0.0), axis=1,
                         keepdims=True)
                     hit = first < (1 << 20)
                     unpicked = pick_d[:, i:i + 1] > 1e29
@@ -532,6 +538,10 @@ def _rt_fwd(attrs, sched_word, sched_block, pix_ctx, seed, st):
 
 
 def _rt_bwd(st, res, g):
+    if st.model in COLOR_FNS:  # packed layouts carry bit patterns: no grads
+        raise NotImplementedError(
+            "packed pair formats are forward-only; use pair_format='f32' "
+            "for training")
     (attrs, sched_word, sched_block, pix_ctx, seed, out) = res
     # Backward context per tile from the saved forward output:
     #   S_total = rgb_out . g_rgb ; gt_tn = g_T * T_final

@@ -51,6 +51,52 @@ PIX_DEPTH_LIMIT = 6
 TRI_X0, TRI_Y0, TRI_X1, TRI_Y1, TRI_X2, TRI_Y2 = 0, 1, 2, 3, 4, 5
 TRI_DEPTH, TRI_ID = 11, 12
 
+# gs2dp rows (packed gs2d, the fp16-shformat analog): packed words are i32
+# bit patterns carried through the sorts bitcast as f32 (payloads are only
+# permuted, never compared or operated on):
+#   w0 x (plain f32)   w1 y (plain f32)   — exact: sub-pixel position error
+#     dominates image error (quantized xy measured 44 dB vs 71 dB for bf16
+#     conic), so the center stays full precision
+#   w2 (ca, cb) bf16 pair   w3 (cc, depth) bf16 pair
+#   w4 (r, g) bf16 pair     w5 (b bf16, opacity u16 fixed) w6 id (plain f32)
+# opacity gets 16-bit fixed point (1.5e-5 abs) rather than bf16: its error
+# compounds multiplicatively through the transmittance chain.
+GSP_X, GSP_Y, GSP_AB, GSP_CD, GSP_RG, GSP_BO, GSP_ID = 0, 1, 2, 3, 4, 5, 6
+
+
+def pack2bf16(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """Two f32 -> one f32 word holding (bf16(hi) << 16 | bf16(lo)). The high
+    half IS bf16(hi) as an f32 bit pattern (bf16 = truncated f32), so the
+    kernel unpacks with a mask + bitcast — no 16-bit types in Mosaic."""
+    hb = jax.lax.bitcast_convert_type(hi.astype(jnp.bfloat16), jnp.uint16)
+    lb = jax.lax.bitcast_convert_type(lo.astype(jnp.bfloat16), jnp.uint16)
+    word = (hb.astype(jnp.uint32) << 16) | lb.astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(word, jnp.float32)
+
+
+def unpack2bf16(word_f32: jax.Array):
+    """(hi, lo) f32 from a pack2bf16 word — mask/shift + bitcast only."""
+    iw = jax.lax.bitcast_convert_type(word_f32, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(
+        iw & jnp.int32(-65536), jnp.float32)               # 0xFFFF0000
+    lo = jax.lax.bitcast_convert_type(iw << 16, jnp.float32)
+    return hi, lo
+
+
+def pack_bf16_u16(hi: jax.Array, unit_lo: jax.Array) -> jax.Array:
+    """(bf16(hi) << 16) | round(unit_lo * 65535) — lo must be in [0, 1]."""
+    hb = jax.lax.bitcast_convert_type(hi.astype(jnp.bfloat16), jnp.uint16)
+    lb = jnp.clip(jnp.round(unit_lo * 65535.0), 0, 65535).astype(jnp.uint32)
+    word = (hb.astype(jnp.uint32) << 16) | lb
+    return jax.lax.bitcast_convert_type(word, jnp.float32)
+
+
+def unpack_bf16_u16(word_f32: jax.Array):
+    iw = jax.lax.bitcast_convert_type(word_f32, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(iw & jnp.int32(-65536), jnp.float32)
+    lo = (iw & 0xFFFF).astype(jnp.float32) * jnp.float32(1.0 / 65535.0)
+    return hi, lo
+
 
 def kernel_response(ray_dist_sq: jax.Array, degree: int) -> jax.Array:
     """Generalized Gaussian of degree n, scale s = -4.5/3^n
@@ -110,6 +156,35 @@ def gs2d_clip_alpha(block, pix, px, py, live, st):
     """gs2d with a per-pixel depth limit from the pixel context."""
     return _depth_clip(block, pix, gs2d_alpha(block, pix, px, py, live, st),
                        GS_DEPTH)
+
+
+def gs2dp_alpha(block, pix, px, py, live, st):
+    """gs2d on the packed layout: unpack (once per splat column, broadcast
+    over the 256 pixels) then the identical conic math. pix unused."""
+    x = block[GSP_X:GSP_X + 1, :]
+    y = block[GSP_Y:GSP_Y + 1, :]
+    ca, cb = unpack2bf16(block[GSP_AB:GSP_AB + 1, :])
+    _, op = unpack_bf16_u16(block[GSP_BO:GSP_BO + 1, :])
+    cc, _ = unpack2bf16(block[GSP_CD:GSP_CD + 1, :])
+
+    dx = px - x
+    dy = py - y
+    d = ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+    g = jnp.exp(-0.5 * d)
+    a_raw = op * g
+    mask = (d <= st.qmax) & (a_raw >= st.alpha_min) & live
+    return jnp.where(mask, jnp.minimum(a_raw, st.alpha_clamp), 0.0)
+
+
+def gs2dp_colors(block):
+    """(3, C) rgb rows from the packed layout."""
+    r, g = unpack2bf16(block[GSP_RG:GSP_RG + 1, :])
+    b, _ = unpack_bf16_u16(block[GSP_BO:GSP_BO + 1, :])
+    return jnp.concatenate([r, g, b], axis=0)
+
+
+def gs2dp_depth(block):
+    return unpack2bf16(block[GSP_CD:GSP_CD + 1, :])[1]
 
 
 def tri2d_alpha(block, pix, px, py, live, st):
@@ -213,15 +288,24 @@ def gut3d_alpha(block, pix, px, py, live, st):
     return jnp.where(mask, jnp.minimum(a_raw, st.alpha_clamp), 0.0)
 
 
+def _row(i):
+    return lambda block: block[i:i + 1, :][0]
+
+
 ALPHA_FNS = {"gs2d": gs2d_alpha, "gs2d_clip": gs2d_clip_alpha,
-             "gut3d": gut3d_alpha, "tri2d": tri2d_alpha}
-USES_PIX_CTX = {"gs2d": False, "gs2d_clip": True, "gut3d": True,
-                "tri2d": False}
+             "gs2dp": gs2dp_alpha, "gut3d": gut3d_alpha, "tri2d": tri2d_alpha}
+USES_PIX_CTX = {"gs2d": False, "gs2d_clip": True, "gs2dp": False,
+                "gut3d": True, "tri2d": False}
+# (1, C) or (C,)-broadcastable extractors the kernel uses for color rows,
+# aux depth picks, and splat-id picks (packed layouts unpack here)
+COLOR_FNS = {"gs2dp": gs2dp_colors}          # default: rows ATTR_R..ATTR_B
+DEPTH_FNS = {"gs2dp": gs2dp_depth}
 DEPTH_ROW = {"gs2d": GS_DEPTH, "gs2d_clip": GS_DEPTH, "gut3d": GUT_DEPTH,
-             "tri2d": TRI_DEPTH}
-ID_ROW = {"gs2d": GS_ID, "gs2d_clip": GS_ID, "gut3d": GUT_ID, "tri2d": TRI_ID}
+             "tri2d": TRI_DEPTH, "gs2dp": -1}
+ID_ROW = {"gs2d": GS_ID, "gs2d_clip": GS_ID, "gut3d": GUT_ID,
+          "tri2d": TRI_ID, "gs2dp": GSP_ID}
 # attr rows per layout — binning carries exactly these through the pair
 # sorts (payload count is the sort cost driver) and the blender DMAs
 # (NUM_ROWS, chunk) blocks
-NUM_ROWS = {"gs2d": GS_ID + 1, "gs2d_clip": GS_ID + 1, "gut3d": GUT_ID + 1,
-            "tri2d": TRI_ID + 1}
+NUM_ROWS = {"gs2d": GS_ID + 1, "gs2d_clip": GS_ID + 1, "gs2dp": GSP_ID + 1,
+            "gut3d": GUT_ID + 1, "tri2d": TRI_ID + 1}

@@ -174,7 +174,8 @@ def render_mesh(mesh: MeshBuffers, cam: Camera, cfg: RenderConfig,
         tiles_y=st.tiles_y, chunk=cfg.raster.chunk,
         slots_k=max(cfg.raster.slots_k, 64),  # triangles often span many tiles
         max_pairs=max_pairs if exact else 0,
-        expansion=cfg.raster.expansion)
+        expansion=cfg.raster.expansion,
+        classes=False)  # few triangles; class caps (n/8, n/64) are too tight
     out = rasterize_bins(bins, None, None, st)
     img, trans, depth, fid = assemble_image(
         out, bins.seg_counts, st.tiles_x, st.tiles_y, cfg.width, cfg.height,

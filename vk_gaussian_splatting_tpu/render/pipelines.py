@@ -60,6 +60,27 @@ def gs_attr_rows(proj: ProjectedSplats) -> jax.Array:
     ], axis=0)
 
 
+def gs_attr_rows_packed(proj: ProjectedSplats) -> jax.Array:
+    """(7, N) packed gs2dp rows (ops/response.py): bf16/u16 pairs bitcast
+    into f32 words (xy stays exact f32) — cuts the pair-sort payload count
+    from 11 to 7 (the binning cost driver), mirroring the reference's fp16
+    shformat tier. Forward/rendering only (bit patterns have no gradient)."""
+    from vk_gaussian_splatting_tpu.ops.response import (
+        pack2bf16,
+        pack_bf16_u16,
+    )
+    n = proj.xy.shape[0]
+    return jnp.stack([
+        proj.xy[:, 0],
+        proj.xy[:, 1],
+        pack2bf16(proj.conic[:, 0], proj.conic[:, 1]),
+        pack2bf16(proj.conic[:, 2], proj.depth),
+        pack2bf16(proj.color[:, 0], proj.color[:, 1]),
+        pack_bf16_u16(proj.color[:, 2], proj.alpha),
+        jnp.arange(n, dtype=jnp.int32).astype(jnp.float32),  # GSP_ID
+    ], axis=0)
+
+
 def gut_attr_rows(prepared: PreparedSplats, proj: ProjectedSplats,
                   cfg: RenderConfig) -> jax.Array:
     """(16, N) per-splat attribute rows in the gut3d layout."""
@@ -133,9 +154,12 @@ def render_3dgs(
         n = host_order.shape[0]
         depth_override = jnp.zeros((n,), jnp.float32).at[host_order].set(
             jnp.arange(n, dtype=jnp.float32))
-    bins = bin_for_cfg(proj, gs_attr_rows(proj), cfg, max_pairs,
-                       depth_override)
+    packed = cfg.raster.pair_format == "packed"
+    rows = gs_attr_rows_packed(proj) if packed else gs_attr_rows(proj)
+    bins = bin_for_cfg(proj, rows, cfg, max_pairs, depth_override)
     st = raster_statics(cfg, interpret)
+    if packed:
+        st = dataclasses.replace(st, model="gs2dp")
     samples = max(cfg.temporal_samples, 1) if st.stochastic else 1
     img = trans = depth = splat_id = None
     for sample in range(samples):
