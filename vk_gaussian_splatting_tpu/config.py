@@ -41,6 +41,20 @@ class CameraType(enum.IntEnum):
     FISHEYE = 1
 
 
+class ShutterType(enum.IntEnum):
+    """Rolling-shutter scan direction (threedgut_camera_models.h.slang:52-57).
+
+    Non-global shutters interpolate the camera pose between Camera.viewmat
+    (shutter start) and Camera.viewmat_end (shutter end) per pixel row or
+    column, with the reference's 5-iteration fixed-point projection."""
+
+    ROLLING_TOP_TO_BOTTOM = 0
+    ROLLING_LEFT_TO_RIGHT = 1
+    ROLLING_BOTTOM_TO_TOP = 2
+    ROLLING_RIGHT_TO_LEFT = 3
+    GLOBAL = 4
+
+
 class SortMethod(enum.IntEnum):
     """GPU vs CPU sorting (reference: vrdx radix sort vs SplatSorterAsync)."""
 
@@ -122,6 +136,7 @@ class RenderConfig:
     sh_degree: int = 3            # requested max SH degree (clamped to data degree)
     sh_format: ShFormat = ShFormat.FLOAT32
     camera_type: CameraType = CameraType.PINHOLE
+    shutter: ShutterType = ShutterType.GLOBAL  # 3DGUT rolling shutter (S6)
     splat_scale: float = 1.0      # global splat scale multiplier (FrameInfo.splatScale)
     stochastic: StochasticMode = StochasticMode.NONE
     temporal_samples: int = 1     # temporal accumulation frames (post.comp.slang)

@@ -339,16 +339,31 @@ def ut_project_splats(
         pts.append((mx + ax[0], my + ax[1], mz + ax[2]))
         pts.append((mx - ax[0], my - ax[1], mz - ax[2]))
 
+    from vk_gaussian_splatting_tpu.config import ShutterType
+
     vm = cam.viewmat
+    rolling = cfg.shutter != ShutterType.GLOBAL
     us, vs, valids = [], [], []
     depth = None
     for idx, (px, py, pz) in enumerate(pts):
         cxx = vm[0, 0] * px + vm[0, 1] * py + vm[0, 2] * pz + vm[0, 3]
         cyy = vm[1, 0] * px + vm[1, 1] * py + vm[1, 2] * pz + vm[1, 3]
         czz = vm[2, 0] * px + vm[2, 1] * py + vm[2, 2] * pz + vm[2, 3]
+        u, v, ok = project_point_cols(cam, cxx, cyy, czz, cfg)
+        if rolling:
+            # projectPointWithShutter fixed point (threedgut_camera_
+            # projections.h.slang:226-236): re-project at the slerped pose
+            # of the previous iterate's scan time, 5 iterations
+            from vk_gaussian_splatting_tpu.scene.cameras import (
+                shutter_time,
+                shutter_transform_cols,
+            )
+            for _ in range(5):
+                t = shutter_time(cfg.shutter, u, v, cfg.width, cfg.height)
+                cxx, cyy, czz = shutter_transform_cols(cam, t, px, py, pz)
+                u, v, ok = project_point_cols(cam, cxx, cyy, czz, cfg)
         if idx == 0:
             depth = czz
-        u, v, ok = project_point_cols(cam, cxx, cyy, czz, cfg)
         us.append(u)
         vs.append(v)
         valids.append(ok)

@@ -53,10 +53,40 @@ def build_tile_rays(cam: Camera, cfg: RenderConfig,
         d_cam = jnp.where((theta < max_angle)[..., None], d_cam,
                           jnp.array([0.0, 0.0, -1.0]))
 
-    r_wc = cam.viewmat[:3, :3].T
-    dirs = jnp.matmul(d_cam, r_wc.T,
-                      precision=jax.lax.Precision.HIGHEST)   # (H,W,3) world
-    origin = jnp.broadcast_to(cam.position, dirs.shape)
+    from vk_gaussian_splatting_tpu.config import ShutterType
+    r_wc = cam.viewmat[:3, :3].T    # DoF lens basis uses the start pose
+    if cfg.shutter == ShutterType.GLOBAL:
+        dirs = jnp.matmul(d_cam, r_wc.T,
+                          precision=jax.lax.Precision.HIGHEST)  # (H,W,3)
+        origin = jnp.broadcast_to(cam.position, dirs.shape)
+    else:
+        # rolling shutter: each pixel's ray uses the pose at its exact scan
+        # time (the per-pixel analog of projectPointWithShutter)
+        from vk_gaussian_splatting_tpu.scene.cameras import (
+            quat_slerp,
+            shutter_poses,
+            shutter_time,
+        )
+        t = shutter_time(cfg.shutter, xs, ys, cfg.width, cfg.height)
+        (q0, t0), (q1, t1) = shutter_poses(cam)
+        q = quat_slerp(q0, q1, t)                             # (H,W,4)
+        # world vectors via the conjugate (camera->world) rotation
+        w, x, y, z = -q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+
+        def rot(vx, vy, vz):
+            ox = ((1 - 2 * (y * y + z * z)) * vx + 2 * (x * y - w * z) * vy
+                  + 2 * (x * z + w * y) * vz)
+            oy = (2 * (x * y + w * z) * vx + (1 - 2 * (x * x + z * z)) * vy
+                  + 2 * (y * z - w * x) * vz)
+            oz = (2 * (x * z - w * y) * vx + 2 * (y * z + w * x) * vy
+                  + (1 - 2 * (x * x + y * y)) * vz)
+            return ox, oy, oz
+
+        dx, dy, dz = rot(d_cam[..., 0], d_cam[..., 1], d_cam[..., 2])
+        dirs = jnp.stack([dx, dy, dz], -1)
+        tt = t0 + t[..., None] * (t1 - t0)                    # (H,W,3)
+        ox, oy, oz = rot(tt[..., 0], tt[..., 1], tt[..., 2])
+        origin = -jnp.stack([ox, oy, oz], -1)
 
     def with_dof(args):
         dirs, origin = args

@@ -46,6 +46,9 @@ class Camera:
     # p1 p2, [8:12] thin-prism s1..s4, [12:16] fisheye theta-poly k1..k4,
     # [16] fisheye max angle override (0 = auto), [17] pad.
     distortion: jax.Array
+    # rolling-shutter end pose (SensorState.endPose, threedgut_sensors
+    # .h.slang:28-50); equals viewmat for a global shutter
+    viewmat_end: jax.Array
 
     @property
     def world_from_camera(self) -> jax.Array:
@@ -74,16 +77,20 @@ def make_camera(
     focus_dist=1.0,
     aperture=0.0,
     distortion=None,
+    viewmat_end=None,
 ) -> Camera:
     f32 = lambda v: jnp.asarray(v, jnp.float32)
     if distortion is None:
         distortion = jnp.zeros((18,), jnp.float32)
+    if viewmat_end is None:
+        viewmat_end = viewmat
     return Camera(
         viewmat=f32(viewmat),
         fx=f32(fx), fy=f32(fy), cx=f32(cx), cy=f32(cy),
         near=f32(near), far=f32(far),
         focus_dist=f32(focus_dist), aperture=f32(aperture),
         distortion=f32(distortion),
+        viewmat_end=f32(viewmat_end),
     )
 
 
@@ -176,6 +183,87 @@ def camera_rays_fisheye(cam: Camera, width: int, height: int):
     r_wc = cam.viewmat[:3, :3].T
     dirs = d_cam @ r_wc.T
     return cam.position, jnp.where(valid[..., None], dirs, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Rolling shutter (threedgut_sensors.h.slang + projectPointWithShutter,
+# threedgut_camera_projections.h.slang:189-238): the camera pose slerps
+# between viewmat (shutter start) and viewmat_end (shutter end) per pixel
+# row/column scan time.
+# ---------------------------------------------------------------------------
+
+
+def rotmat_to_quat(r: jax.Array) -> jax.Array:
+    """(3,3) rotation -> (w, x, y, z) unit quaternion (branchless via the
+    four Shepperd candidates, normalized pick of the largest)."""
+    m00, m01, m02 = r[0, 0], r[0, 1], r[0, 2]
+    m10, m11, m12 = r[1, 0], r[1, 1], r[1, 2]
+    m20, m21, m22 = r[2, 0], r[2, 1], r[2, 2]
+    qw = jnp.sqrt(jnp.maximum(0.0, 1 + m00 + m11 + m22)) / 2
+    qx = jnp.sqrt(jnp.maximum(0.0, 1 + m00 - m11 - m22)) / 2
+    qy = jnp.sqrt(jnp.maximum(0.0, 1 - m00 + m11 - m22)) / 2
+    qz = jnp.sqrt(jnp.maximum(0.0, 1 - m00 - m11 + m22)) / 2
+    qx = qx * jnp.sign(jnp.where(m21 - m12 == 0, 1.0, m21 - m12))
+    qy = qy * jnp.sign(jnp.where(m02 - m20 == 0, 1.0, m02 - m20))
+    qz = qz * jnp.sign(jnp.where(m10 - m01 == 0, 1.0, m10 - m01))
+    q = jnp.stack([qw, qx, qy, qz])
+    return q / jnp.linalg.norm(q).clip(1e-12)
+
+
+def quat_slerp(q0: jax.Array, q1: jax.Array, t: jax.Array) -> jax.Array:
+    """Slerp between (4,) quaternions at (...,) parameters -> (..., 4)."""
+    d = jnp.sum(q0 * q1)
+    q1 = jnp.where(d < 0, -q1, q1)
+    d = jnp.abs(jnp.clip(d, -1.0, 1.0))
+    theta = jnp.arccos(d)
+    sin_t = jnp.sin(theta)
+    use_lerp = sin_t < 1e-5
+    w0 = jnp.where(use_lerp, 1.0 - t, jnp.sin((1.0 - t) * theta)
+                   / jnp.where(use_lerp, 1.0, sin_t))
+    w1 = jnp.where(use_lerp, t, jnp.sin(t * theta)
+                   / jnp.where(use_lerp, 1.0, sin_t))
+    q = w0[..., None] * q0 + w1[..., None] * q1
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-12)
+
+
+def shutter_time(shutter: int, u: jax.Array, v: jax.Array,
+                 width: int, height: int) -> jax.Array:
+    """relativeShutterTime (threedgut_camera_projections.h.slang:61-76)."""
+    from vk_gaussian_splatting_tpu.config import ShutterType
+    if shutter == ShutterType.ROLLING_TOP_TO_BOTTOM:
+        return jnp.clip(jnp.floor(v) / (height - 1.0), 0.0, 1.0)
+    if shutter == ShutterType.ROLLING_LEFT_TO_RIGHT:
+        return jnp.clip(jnp.floor(u) / (width - 1.0), 0.0, 1.0)
+    if shutter == ShutterType.ROLLING_BOTTOM_TO_TOP:
+        return jnp.clip((height - jnp.ceil(v)) / (height - 1.0), 0.0, 1.0)
+    if shutter == ShutterType.ROLLING_RIGHT_TO_LEFT:
+        return jnp.clip((width - jnp.ceil(u)) / (width - 1.0), 0.0, 1.0)
+    return jnp.full_like(u, 0.5)
+
+
+def shutter_poses(cam: Camera):
+    """((q0, t0), (q1, t1)) world->camera quaternion+translation pair for the
+    shutter start/end viewmats."""
+    return ((rotmat_to_quat(cam.viewmat[:3, :3]), cam.viewmat[:3, 3]),
+            (rotmat_to_quat(cam.viewmat_end[:3, :3]), cam.viewmat_end[:3, 3]))
+
+
+def shutter_transform_cols(cam: Camera, alpha: jax.Array, px, py, pz):
+    """World -> camera at per-element shutter times: rotate by the slerped
+    world->camera quaternion, add the lerped translation. Column inputs of
+    any broadcastable shape."""
+    (q0, t0), (q1, t1) = shutter_poses(cam)
+    q = quat_slerp(q0, q1, alpha)                     # (..., 4)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    # q * p * q^-1 expanded (rows of R(q)) — SoA, no (..., 3, 3) stacks
+    cxx = ((1 - 2 * (y * y + z * z)) * px + 2 * (x * y - w * z) * py
+           + 2 * (x * z + w * y) * pz)
+    cyy = (2 * (x * y + w * z) * px + (1 - 2 * (x * x + z * z)) * py
+           + 2 * (y * z - w * x) * pz)
+    czz = (2 * (x * z - w * y) * px + 2 * (y * z + w * x) * py
+           + (1 - 2 * (x * x + y * y)) * pz)
+    tt = t0 + alpha[..., None] * (t1 - t0)            # (..., 3)
+    return (cxx + tt[..., 0], cyy + tt[..., 1], czz + tt[..., 2])
 
 
 class CameraSet:
