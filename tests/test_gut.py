@@ -200,3 +200,23 @@ def test_opencv_distortion_models():
         [float(cam_f.fx) * x * delta + float(cam_f.cx),
          float(cam_f.fy) * y * delta + float(cam_f.cy)], rtol=1e-5)
     assert np.abs(np.asarray(uv1) - np.asarray(uv0)).max() > 0.5
+
+
+def test_gut_packed_pair_format_matches_f32():
+    import dataclasses as _dc
+
+    from vk_gaussian_splatting_tpu.render.pipelines import render_3dgrt
+
+    cfg = RenderConfig(width=128, height=96, sh_degree=1)
+    splats = random_splats(jax.random.key(0), 1000, sh_degree=1).prepare()
+    cam = look_at([0.4, -0.8, -7], [0, 0, 0], [0, 1, 0],
+                  cfg.width, cfg.height)
+    cfgp = cfg.replace(raster=_dc.replace(cfg.raster, pair_format="packed"))
+    for fn in (render_3dgut, render_3dgrt):
+        o1 = fn(splats, cam, cfg, max_pairs=1 << 18)
+        o2 = fn(splats, cam, cfgp, max_pairs=1 << 18)
+        i1, i2 = np.asarray(o1.image), np.asarray(o2.image)
+        mse = float(np.mean((i1 - i2) ** 2))
+        psnr = 10 * np.log10(max(float(i1.max()), 1.0) ** 2
+                             / max(mse, 1e-12))
+        assert psnr > 55.0, (fn.__name__, psnr)

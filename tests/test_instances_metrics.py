@@ -137,3 +137,60 @@ def test_metrics_basics():
     # approx mode runs
     m2 = np.asarray(flip(a, b, approx=True))
     assert np.isfinite(m2).all()
+
+
+def test_nonuniform_instance_transform_refactorizes_covariance():
+    """bake_general_transform must produce (scale, quat) whose covariance
+    equals the direct A Sigma A^T matrix transform."""
+    from vk_gaussian_splatting_tpu.scene.instances import (
+        bake_general_transform,
+    )
+    from vk_gaussian_splatting_tpu.scene.splat_set import quat_to_rotmat
+
+    rng = np.random.default_rng(0)
+    n = 64
+    means = rng.normal(size=(n, 3)).astype(np.float32)
+    scales = rng.uniform(-2.5, -0.5, size=(n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+
+    t4 = np.eye(4, dtype=np.float32)
+    t4[:3, :3] = np.array([[1.5, 0.3, 0.0],
+                           [0.0, 0.7, 0.1],
+                           [0.0, 0.0, 2.0]], np.float32)  # shear + aniso
+    t4[:3, 3] = [1.0, -2.0, 0.5]
+
+    m2, s2, q2 = bake_general_transform(t4, means, scales, quats)
+
+    r_in = np.asarray(quat_to_rotmat(jnp.asarray(quats)))
+    s_in = np.exp(scales)
+    a = t4[:3, :3].astype(np.float64)
+    m_dir = (a[None] @ r_in) * s_in[:, None, :]
+    cov_direct = m_dir @ np.swapaxes(m_dir, 1, 2)
+
+    r_out = np.asarray(quat_to_rotmat(jnp.asarray(q2)))
+    m_out = r_out * np.exp(s2)[:, None, :]
+    cov_baked = m_out @ np.swapaxes(m_out, 1, 2)
+
+    np.testing.assert_allclose(cov_baked, cov_direct, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        m2, means @ t4[:3, :3].T + t4[:3, 3], rtol=1e-5, atol=1e-5)
+
+
+def test_nonuniform_instance_scene_renders():
+    from vk_gaussian_splatting_tpu.scene.instances import (
+        SplatInstance,
+        SplatScene,
+    )
+
+    cfg = RenderConfig(width=64, height=48, sh_degree=0)
+    base = random_splats(jax.random.key(7), 200, sh_degree=0)
+    scene = SplatScene()
+    scene.assets.append(base)
+    t4 = np.diag([2.0, 0.5, 1.0, 1.0]).astype(np.float32)
+    scene.instances.append(SplatInstance(asset=0, transform=t4))
+    prepared, table = scene.flatten()
+    cam = look_at([0, 0, -8], [0, 0, 0], [0, 1, 0], cfg.width, cfg.height)
+    out = render_3dgs(prepared, cam, cfg, max_pairs=1 << 16)
+    img = np.asarray(out.image)
+    assert np.isfinite(img).all() and img.max() > 0

@@ -187,6 +187,71 @@ def gs2dp_depth(block):
     return unpack2bf16(block[GSP_CD:GSP_CD + 1, :])[1]
 
 
+# gut3dp rows (packed gut3d): positions stay exact f32 (the canonical-frame
+# ray math is position-sensitive); scale/quat/rgb ride bf16 pairs, opacity
+# u16 fixed (see gs2dp):
+#   w0-2 pos xyz (f32)   w3 (sx, sy)   w4 (sz, qw)   w5 (qx, qy)
+#   w6 (qz, depth)       w7 (r, g)     w8 (b bf16, opacity u16)   w9 id
+GUTP_PX, GUTP_PY, GUTP_PZ = 0, 1, 2
+GUTP_SXY, GUTP_SZW, GUTP_QXY, GUTP_QZD, GUTP_RG, GUTP_BO, GUTP_ID = \
+    3, 4, 5, 6, 7, 8, 9
+
+
+def gut3dp_alpha(block, pix, px, py, live, st):
+    """gut3d on the packed layout: unpack once per splat column, then the
+    identical canonical-ray math."""
+    pos = [block[i:i + 1, :] for i in (GUTP_PX, GUTP_PY, GUTP_PZ)]
+    sx, sy = unpack2bf16(block[GUTP_SXY:GUTP_SXY + 1, :])
+    sz, qw = unpack2bf16(block[GUTP_SZW:GUTP_SZW + 1, :])
+    qx, qy = unpack2bf16(block[GUTP_QXY:GUTP_QXY + 1, :])
+    qz, _ = unpack2bf16(block[GUTP_QZD:GUTP_QZD + 1, :])
+    _, op = unpack_bf16_u16(block[GUTP_BO:GUTP_BO + 1, :])
+    # re-normalize the quantized quaternion so R stays a rotation
+    qn = jax.lax.rsqrt(qw * qw + qx * qx + qy * qy + qz * qz + 1e-30)
+    qw, qx, qy, qz = qw * qn, qx * qn, qy * qn, qz * qn
+
+    r = [
+        [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz), 2 * (qx * qz + qw * qy)],
+        [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qw * qx)],
+        [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx), 1 - 2 * (qx * qx + qy * qy)],
+    ]
+    scl = (sx, sy, sz)
+    inv_s = [1.0 / jnp.maximum(s, 1e-12) for s in scl]
+
+    d_pix = [pix[:, i:i + 1] for i in (RAY_DX, RAY_DY, RAY_DZ)]
+    o_pix = [pix[:, i:i + 1] for i in (RAY_OX, RAY_OY, RAY_OZ)]
+    oc, dc = [], []
+    for j in range(3):
+        o_j = (r[0][j] * (o_pix[0] - pos[0])
+               + r[1][j] * (o_pix[1] - pos[1])
+               + r[2][j] * (o_pix[2] - pos[2])) * inv_s[j]
+        d_j = (r[0][j] * d_pix[0] + r[1][j] * d_pix[1]
+               + r[2][j] * d_pix[2]) * inv_s[j]
+        oc.append(o_j)
+        dc.append(d_j)
+    dn = jax.lax.rsqrt(dc[0] * dc[0] + dc[1] * dc[1] + dc[2] * dc[2] + 1e-30)
+    dc = [d * dn for d in dc]
+    cr0 = dc[1] * oc[2] - dc[2] * oc[1]
+    cr1 = dc[2] * oc[0] - dc[0] * oc[2]
+    cr2 = dc[0] * oc[1] - dc[1] * oc[0]
+    dist_sq = cr0 * cr0 + cr1 * cr1 + cr2 * cr2
+
+    resp = kernel_response(dist_sq, st.kernel_degree)
+    a_raw = op * resp
+    mask = (a_raw > st.alpha_min) & (resp > st.kernel_min_response) & live
+    return jnp.where(mask, jnp.minimum(a_raw, st.alpha_clamp), 0.0)
+
+
+def gut3dp_colors(block):
+    r, g = unpack2bf16(block[GUTP_RG:GUTP_RG + 1, :])
+    b, _ = unpack_bf16_u16(block[GUTP_BO:GUTP_BO + 1, :])
+    return jnp.concatenate([r, g, b], axis=0)
+
+
+def gut3dp_depth(block):
+    return unpack2bf16(block[GUTP_QZD:GUTP_QZD + 1, :])[1]
+
+
 def tri2d_alpha(block, pix, px, py, live, st):
     """Opaque triangle coverage: alpha = 1 inside the triangle, else 0.
 
@@ -293,19 +358,21 @@ def _row(i):
 
 
 ALPHA_FNS = {"gs2d": gs2d_alpha, "gs2d_clip": gs2d_clip_alpha,
-             "gs2dp": gs2dp_alpha, "gut3d": gut3d_alpha, "tri2d": tri2d_alpha}
+             "gs2dp": gs2dp_alpha, "gut3d": gut3d_alpha,
+             "gut3dp": gut3dp_alpha, "tri2d": tri2d_alpha}
 USES_PIX_CTX = {"gs2d": False, "gs2d_clip": True, "gs2dp": False,
-                "gut3d": True, "tri2d": False}
+                "gut3d": True, "gut3dp": True, "tri2d": False}
 # (1, C) or (C,)-broadcastable extractors the kernel uses for color rows,
 # aux depth picks, and splat-id picks (packed layouts unpack here)
-COLOR_FNS = {"gs2dp": gs2dp_colors}          # default: rows ATTR_R..ATTR_B
-DEPTH_FNS = {"gs2dp": gs2dp_depth}
+COLOR_FNS = {"gs2dp": gs2dp_colors, "gut3dp": gut3dp_colors}
+DEPTH_FNS = {"gs2dp": gs2dp_depth, "gut3dp": gut3dp_depth}
 DEPTH_ROW = {"gs2d": GS_DEPTH, "gs2d_clip": GS_DEPTH, "gut3d": GUT_DEPTH,
-             "tri2d": TRI_DEPTH, "gs2dp": -1}
+             "tri2d": TRI_DEPTH, "gs2dp": -1, "gut3dp": -1}
 ID_ROW = {"gs2d": GS_ID, "gs2d_clip": GS_ID, "gut3d": GUT_ID,
-          "tri2d": TRI_ID, "gs2dp": GSP_ID}
+          "tri2d": TRI_ID, "gs2dp": GSP_ID, "gut3dp": GUTP_ID}
 # attr rows per layout — binning carries exactly these through the pair
 # sorts (payload count is the sort cost driver) and the blender DMAs
 # (NUM_ROWS, chunk) blocks
 NUM_ROWS = {"gs2d": GS_ID + 1, "gs2d_clip": GS_ID + 1, "gs2dp": GSP_ID + 1,
-            "gut3d": GUT_ID + 1, "tri2d": TRI_ID + 1}
+            "gut3d": GUT_ID + 1, "gut3dp": GUTP_ID + 1,
+            "tri2d": TRI_ID + 1}

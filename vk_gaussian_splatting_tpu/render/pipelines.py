@@ -99,6 +99,30 @@ def gut_attr_rows(prepared: PreparedSplats, proj: ProjectedSplats,
     ], axis=0)
 
 
+def gut_attr_rows_packed(prepared: PreparedSplats, proj: ProjectedSplats,
+                         cfg: RenderConfig) -> jax.Array:
+    """(10, N) packed gut3dp rows (ops/response.py): exact f32 positions,
+    bf16/u16 pairs for scale/quat/rgb/opacity. Forward/rendering only."""
+    from vk_gaussian_splatting_tpu.ops.response import (
+        pack2bf16,
+        pack_bf16_u16,
+    )
+    n = proj.xy.shape[0]
+    quats = prepared.quats / jnp.linalg.norm(
+        prepared.quats, axis=-1, keepdims=True).clip(1e-12)
+    scl = jnp.exp(prepared.scales_log) * cfg.splat_scale
+    return jnp.stack([
+        prepared.means[:, 0], prepared.means[:, 1], prepared.means[:, 2],
+        pack2bf16(scl[:, 0], scl[:, 1]),
+        pack2bf16(scl[:, 2], quats[:, 0]),
+        pack2bf16(quats[:, 1], quats[:, 2]),
+        pack2bf16(quats[:, 3], proj.depth),
+        pack2bf16(proj.color[:, 0], proj.color[:, 1]),
+        pack_bf16_u16(proj.color[:, 2], proj.alpha),
+        jnp.arange(n, dtype=jnp.int32).astype(jnp.float32),  # GUTP_ID
+    ], axis=0)
+
+
 def raster_statics(cfg: RenderConfig, interpret: bool | None = None) -> RasterStatics:
     from vk_gaussian_splatting_tpu.config import StochasticMode
     if interpret is None:
@@ -215,10 +239,12 @@ def render_3dgut(
     if cfg.raster.tile_size != 16:
         raise ValueError("pallas raster path requires tile_size == 16")
     proj = ut_project_splats(prepared, cam, cfg)
-    bins = bin_for_cfg(proj, gut_attr_rows(prepared, proj, cfg), cfg,
-                       max_pairs)
+    packed = cfg.raster.pair_format == "packed"
+    rows = (gut_attr_rows_packed if packed else gut_attr_rows)(
+        prepared, proj, cfg)
+    bins = bin_for_cfg(proj, rows, cfg, max_pairs)
     st = dataclasses.replace(
-        raster_statics(cfg, interpret), model="gut3d",
+        raster_statics(cfg, interpret), model="gut3dp" if packed else "gut3d",
         kernel_degree=cfg.rt.kernel_degree)
     img, trans, depth, splat_id = _blend_samples(bins, cam, cfg, st)
     return RenderOutput(image=img, transmittance=trans, depth=depth,
@@ -247,10 +273,12 @@ def render_3dgrt(
         raise ValueError("pallas raster path requires tile_size == 16")
     proj = ut_project_splats(prepared, cam, cfg)
     radial = jnp.linalg.norm(prepared.means - cam.position, axis=-1)
-    bins = bin_for_cfg(proj, gut_attr_rows(prepared, proj, cfg), cfg,
-                       max_pairs, depth_override=radial)
+    packed = cfg.raster.pair_format == "packed"
+    rows = (gut_attr_rows_packed if packed else gut_attr_rows)(
+        prepared, proj, cfg)
+    bins = bin_for_cfg(proj, rows, cfg, max_pairs, depth_override=radial)
     st = dataclasses.replace(
-        raster_statics(cfg, interpret), model="gut3d",
+        raster_statics(cfg, interpret), model="gut3dp" if packed else "gut3d",
         kernel_degree=cfg.rt.kernel_degree,
         alpha_clamp=cfg.rt.alpha_clamp,
         min_transmittance=cfg.rt.min_transmittance)

@@ -15,10 +15,12 @@ concatenated PreparedSplats that every pipeline (and the unified sort) already
 handles. The global index table survives as (instance_id, local_id) arrays
 for picking/selection parity.
 
-Limitations mirrored honestly: non-uniform instance scale is rejected (it
-breaks the scale/quat factorization the gut3d response needs; the reference
-supports it by keeping matrices in-shader — a per-splat 3x3 would be needed
-here).
+Non-uniform-scale (and sheared) instance transforms re-factorize per splat at
+bake time: the transformed covariance A Sigma A^T is eigendecomposed back
+into fresh (log-scale, quat) pairs, so every pipeline (including the gut3d
+exact-ray response, which needs the scale/quat factorization) keeps working.
+The reference instead keeps matrices in-shader; baking costs one batched
+3x3 eigh per scene edit and nothing per frame.
 """
 
 from __future__ import annotations
@@ -85,6 +87,64 @@ def decompose_rigid_uniform(transform: np.ndarray, atol: float = 1e-4):
     if np.linalg.det(r) < 0:
         raise ValueError("instance transform has a reflection; unsupported")
     return s, rotmat_to_quat(r), t
+
+
+def _rotmat_to_quat_batched(r: np.ndarray) -> np.ndarray:
+    """(N,3,3) rotations -> (N,4) (w,x,y,z) unit quaternions (Shepperd,
+    branchless numpy; bake-time accuracy is ample)."""
+    m00, m01, m02 = r[:, 0, 0], r[:, 0, 1], r[:, 0, 2]
+    m10, m11, m12 = r[:, 1, 0], r[:, 1, 1], r[:, 1, 2]
+    m20, m21, m22 = r[:, 2, 0], r[:, 2, 1], r[:, 2, 2]
+    qw = np.sqrt(np.maximum(0.0, 1 + m00 + m11 + m22)) / 2
+    qx = np.sqrt(np.maximum(0.0, 1 + m00 - m11 - m22)) / 2
+    qy = np.sqrt(np.maximum(0.0, 1 - m00 + m11 - m22)) / 2
+    qz = np.sqrt(np.maximum(0.0, 1 - m00 - m11 + m22)) / 2
+    qx *= np.where(m21 - m12 < 0, -1.0, 1.0)
+    qy *= np.where(m02 - m20 < 0, -1.0, 1.0)
+    qz *= np.where(m10 - m01 < 0, -1.0, 1.0)
+    q = np.stack([qw, qx, qy, qz], axis=-1)
+    return q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+
+
+def bake_general_transform(transform: np.ndarray, means: np.ndarray,
+                           scales_log: np.ndarray, quats: np.ndarray):
+    """Apply an arbitrary invertible affine instance transform per splat.
+
+    The transformed Gaussian's covariance A Sigma A^T (A = linear part) is
+    eigendecomposed back into fresh (means, log-scales, quats) — the TPU
+    answer to the reference's in-shader instance matrices (shaderio
+    SplatSetDesc.transform), keeping the scale/quat factorization the gut3d
+    exact-ray response requires. Returns numpy f32 arrays."""
+    m4 = np.asarray(transform, np.float64)
+    a = m4[:3, :3]
+    if abs(np.linalg.det(a)) < 1e-12:
+        raise ValueError("instance transform is singular")
+    means2 = np.asarray(means, np.float64) @ a.T + m4[:3, 3]
+
+    q = np.asarray(quats, np.float64)
+    q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    r = np.empty((q.shape[0], 3, 3))
+    r[:, 0, 0] = 1 - 2 * (y * y + z * z)
+    r[:, 0, 1] = 2 * (x * y - w * z)
+    r[:, 0, 2] = 2 * (x * z + w * y)
+    r[:, 1, 0] = 2 * (x * y + w * z)
+    r[:, 1, 1] = 1 - 2 * (x * x + z * z)
+    r[:, 1, 2] = 2 * (y * z - w * x)
+    r[:, 2, 0] = 2 * (x * z - w * y)
+    r[:, 2, 1] = 2 * (y * z + w * x)
+    r[:, 2, 2] = 1 - 2 * (x * x + y * y)
+
+    s = np.exp(np.asarray(scales_log, np.float64))       # (N,3)
+    m = (a[None] @ r) * s[:, None, :]                    # A R diag(s)
+    cov = m @ np.swapaxes(m, 1, 2)
+    eigval, eigvec = np.linalg.eigh(cov)                 # ascending
+    scales2 = 0.5 * np.log(np.maximum(eigval, 1e-30))
+    det = np.linalg.det(eigvec)
+    eigvec[:, :, 2] *= np.where(det < 0, -1.0, 1.0)[:, None]
+    quats2 = _rotmat_to_quat_batched(eigvec)
+    return (means2.astype(np.float32), scales2.astype(np.float32),
+            quats2.astype(np.float32))
 
 
 @dataclasses.dataclass
@@ -165,19 +225,36 @@ class SplatScene:
                     for i in live)
         for idx, inst in enumerate(live):
             asset = self.assets[inst.asset]
-            s, q_t, t = decompose_rigid_uniform(inst.transform)
             n = asset.num_splats
             means = jnp.asarray(asset.means)
             quats = jnp.asarray(asset.quats)
-            from vk_gaussian_splatting_tpu.scene.splat_set import quat_to_rotmat
-            r = jnp.asarray(quat_to_rotmat(jnp.asarray(q_t)[None])[0], jnp.float32)
-            means2 = jnp.matmul(
-                means, r.T, precision=jax.lax.Precision.HIGHEST) * s \
-                + jnp.asarray(t, jnp.float32)
-            quats_n = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True).clip(1e-12)
-            quats2 = quat_multiply(jnp.asarray(q_t, jnp.float32)[None], quats_n)
-            scales2 = jnp.asarray(asset.scales) + np.log(s) \
-                + np.log(max(inst.splat_scale, 1e-12))
+            try:
+                s, q_t, t = decompose_rigid_uniform(inst.transform)
+                from vk_gaussian_splatting_tpu.scene.splat_set import (
+                    quat_to_rotmat,
+                )
+                r = jnp.asarray(quat_to_rotmat(jnp.asarray(q_t)[None])[0],
+                                jnp.float32)
+                means2 = jnp.matmul(
+                    means, r.T, precision=jax.lax.Precision.HIGHEST) * s \
+                    + jnp.asarray(t, jnp.float32)
+                quats_n = quats / jnp.linalg.norm(
+                    quats, axis=-1, keepdims=True).clip(1e-12)
+                quats2 = quat_multiply(
+                    jnp.asarray(q_t, jnp.float32)[None], quats_n)
+                scales2 = jnp.asarray(asset.scales) + np.log(s) \
+                    + np.log(max(inst.splat_scale, 1e-12))
+            except ValueError:
+                # non-uniform / sheared transform: per-splat covariance
+                # re-factorization (bake_general_transform)
+                m2, s2, q2 = bake_general_transform(
+                    inst.transform, np.asarray(asset.means),
+                    np.asarray(asset.scales)
+                    + np.log(max(inst.splat_scale, 1e-12)),
+                    np.asarray(asset.quats))
+                means2 = jnp.asarray(m2)
+                scales2 = jnp.asarray(s2)
+                quats2 = jnp.asarray(q2)
             sh = jnp.asarray(asset.sh_rest)
             m = sh.shape[1]
             if m < max_m:
