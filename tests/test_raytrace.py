@@ -225,3 +225,43 @@ def test_trace_splats_differentiable():
     g = jax.grad(loss)(splats.means)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0.0
+
+
+def test_double_bounce_between_facing_mirrors():
+    """Two facing mirrors: the second bounce adds radiance the first cannot
+    (mirror->mirror->splats), exercising the bounce loop's throughput carry
+    and mesh re-hit."""
+    from vk_gaussian_splatting_tpu.render.mesh_raster import (
+        mesh_buffers_from_obj,
+    )
+    from vk_gaussian_splatting_tpu.render.wavefront import trace_secondary
+
+    mirror = ObjMaterial(name="m", diffuse=(0.0, 0.0, 0.0),
+                         specular=(1.0, 1.0, 1.0), illum=1)
+    # floor at y=-2 and ceiling at y=+2, normals facing each other
+    pos = np.array([[-6, -2, -6], [6, -2, -6], [6, -2, 6], [-6, -2, 6],
+                    [-6, 2, -6], [6, 2, -6], [6, 2, 6], [-6, 2, 6]],
+                   np.float32)
+    nrm = np.concatenate([np.tile([[0, 1, 0]], (4, 1)),
+                          np.tile([[0, -1, 0]], (4, 1))]).astype(np.float32)
+    idx = np.array([[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]], np.int32)
+    mesh = ObjMesh(positions=pos, normals=nrm, indices=idx,
+                   mat_indices=np.zeros(4, np.int32), materials=[mirror])
+    mb = mesh_buffers_from_obj(mesh)
+
+    cfg = RenderConfig(width=8, height=8, sh_degree=0)
+    splats = random_splats(jax.random.key(8), 150, sh_degree=0).prepare()
+
+    # a ray batch fired downward at the floor from inside the cavity
+    r = 16
+    o = jnp.tile(jnp.array([[0.5, 1.0, 0.0]]), (r, 1))
+    d = jnp.tile(jnp.array([[0.05, -1.0, 0.02]]), (r, 1))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    thr = jnp.ones((r, 3))
+    cam = look_at([0, 0, -7], [0, 0, 0], [0, 1, 0], cfg.width, cfg.height)
+
+    rad1 = trace_secondary(splats, cam, cfg, mb, o, d, thr, max_bounces=1)
+    rad3 = trace_secondary(splats, cam, cfg, mb, o, d, thr, max_bounces=3)
+    assert np.isfinite(np.asarray(rad3)).all()
+    # extra bounces integrate strictly more splat radiance
+    assert float(jnp.sum(rad3)) > float(jnp.sum(rad1)) + 1e-4

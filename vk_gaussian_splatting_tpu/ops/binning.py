@@ -247,7 +247,6 @@ def _bin_impl(
             pair_rows = tuple(bcast(row) for row in attr_rows)
             num_pairs = jnp.sum(slot_valid)
             sids = None
-            regions = None
         else:
             if tiles_x > 255 or tiles_y > 255:
                 raise ValueError("class expansion packs tile coords into 8 "
