@@ -8,6 +8,7 @@ bicycle scene at 587 FPS @ 1465x766 on an RTX 6000 Ada = 658.6 Mpixel/s.
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -93,19 +94,46 @@ def main():
     mpix_s = cfg.width * cfg.height / dt_fwd / 1e6
     mpix_s_train = cfg.width * cfg.height / dt_fwd_bwd / 1e6
 
+    extra = {
+        "fwd_ms": round(dt_fwd * 1e3, 3),
+        "fwd_bwd_ms": round(dt_fwd_bwd * 1e3, 3),
+        "fwd_bwd_mpix_s": round(mpix_s_train, 2),
+        "fps": round(1.0 / dt_fwd, 2),
+        "n_splats": n_splats,
+        "device": str(jax.devices()[0]),
+    }
+
+    if os.environ.get("BENCH_ALL"):
+        # per-pipeline frame times (the reference's 3DGUT/3DGRT tables);
+        # packed = the fp16-analog inference tier
+        import vk_gaussian_splatting_tpu.render.pipelines as pl
+
+        variants = {
+            "3dgut_ms": (pl.render_3dgut, cfg),
+            "3dgrt_ms": (pl.render_3dgrt, cfg),
+            "3dgs_packed_ms": (render_3dgs, cfg.replace(
+                raster=dataclasses.replace(cfg.raster,
+                                           pair_format="packed"))),
+            "3dgut_packed_ms": (pl.render_3dgut, cfg.replace(
+                raster=dataclasses.replace(cfg.raster,
+                                           pair_format="packed"))),
+        }
+        for name, (pipe, c) in variants.items():
+            @jax.jit
+            def one(p, cc, pipe=pipe, c=c):
+                def body(carry, i):
+                    return carry + jnp.sum(
+                        pipe(p, jitter(cc, i), c).image), None
+                s, _ = jax.lax.scan(body, 0.0, jnp.arange(FRAMES))
+                return s
+            extra[name] = round(time_fn(one, prepared, cam) * 1e3, 3)
+
     print(json.dumps({
         "metric": "3dgs_raster_fwd_1080p_1M_splats",
         "value": round(mpix_s, 2),
         "unit": "Mpixel/s",
         "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 4),
-        "extra": {
-            "fwd_ms": round(dt_fwd * 1e3, 3),
-            "fwd_bwd_ms": round(dt_fwd_bwd * 1e3, 3),
-            "fwd_bwd_mpix_s": round(mpix_s_train, 2),
-            "fps": round(1.0 / dt_fwd, 2),
-            "n_splats": n_splats,
-            "device": str(jax.devices()[0]),
-        },
+        "extra": extra,
     }))
 
 

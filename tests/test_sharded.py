@@ -46,3 +46,17 @@ def test_sharded_train_step(scene):
     assert float(l2) < float(l1)
     # gradient actually reached sharded params
     assert float(jnp.abs(s1.opacities - splats.opacities).sum()) > 0
+
+
+def test_sharded_gut_matches_single_device(scene):
+    from vk_gaussian_splatting_tpu.parallel import render_3dgut_sharded
+    from vk_gaussian_splatting_tpu.render.pipelines import render_3dgut
+
+    cfg, splats, cam = scene
+    mesh = make_mesh(8)
+    img_sh, _ = render_3dgut_sharded(splats, cam, cfg, max_pairs=1 << 14,
+                                     mesh=mesh, interpret=True)
+    ref = render_3dgut(splats.prepare(), cam, cfg, max_pairs=1 << 14,
+                       interpret=True)
+    np.testing.assert_allclose(np.asarray(img_sh), np.asarray(ref.image),
+                               atol=2e-3)

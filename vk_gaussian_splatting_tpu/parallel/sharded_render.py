@@ -105,6 +105,59 @@ def render_3dgs_sharded(splats: SplatSet, cam: Camera, cfg: RenderConfig,
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_pairs", "mesh", "interpret"))
+def render_3dgut_sharded(splats: SplatSet, cam: Camera, cfg: RenderConfig,
+                         max_pairs: int, mesh: Mesh,
+                         interpret: bool | None = None):
+    """3DGUT forward with splat-sharded UT projection and band-sharded
+    exact-ray rasterization. Each band blends with rays regenerated for its
+    sub-viewport (cy shifted — the pixel context never crosses bands).
+    Global shutter only (rolling shutter needs global scan coordinates)."""
+    from vk_gaussian_splatting_tpu.ops.projection import ut_project_splats
+    from vk_gaussian_splatting_tpu.render.pipelines import gut_attr_rows
+    from vk_gaussian_splatting_tpu.render.rays import build_tile_rays
+
+    axis = mesh.axis_names[0]
+    nd = mesh.shape[axis]
+    ty_total = tiles_y(cfg)
+    assert ty_total % nd == 0, "tiles_y must divide the mesh size"
+    ty_local = ty_total // nd
+    h_local = ty_local * cfg.raster.tile_size
+
+    def shard_fn(splats_local: SplatSet, cam: Camera):
+        prepared = prepare_splats(splats_local, cfg.sh_format)
+        proj = ut_project_splats(prepared, cam, cfg)
+        rows = gut_attr_rows(prepared, proj, cfg)
+        proj = _gather_proj(proj, axis)
+        rows = jax.lax.all_gather(rows, axis, axis=1, tiled=True)
+
+        band = jax.lax.axis_index(axis)
+        y_off = (jnp.asarray(band, jnp.float32)
+                 * (ty_local * cfg.raster.tile_size))
+        shifted = dataclasses.replace(
+            proj, xy=proj.xy - jnp.stack([jnp.zeros((), jnp.float32), y_off]))
+        local_cfg = cfg.replace(height=h_local)
+        band_cam = dataclasses.replace(cam, cy=cam.cy - y_off)
+        bins = bin_for_cfg(shifted, rows, local_cfg, max_pairs)
+        st = dataclasses.replace(
+            raster_statics(cfg, interpret), tiles_y=ty_local, model="gut3d",
+            kernel_degree=cfg.rt.kernel_degree)
+        pix_ctx = build_tile_rays(band_cam, local_cfg)
+        out = rasterize_bins(bins, pix_ctx, None, st)
+        img, trans = assemble_image(out, bins.seg_counts, st.tiles_x,
+                                    ty_local, cfg.width, h_local,
+                                    cfg.background)
+        return img, trans
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+    return fn(splats, cam)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_pairs", "mesh", "interpret"))
 def train_step_sharded(splats: SplatSet, cam: Camera, target: jax.Array,
                        cfg: RenderConfig, max_pairs: int, mesh: Mesh,
                        lr: float = 1e-2, interpret: bool | None = None):
