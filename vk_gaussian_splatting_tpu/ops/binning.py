@@ -458,29 +458,35 @@ def _bin_slots_fwd(proj, attr_rows, statics):
 
 def _bin_slots_bwd(statics, res, d_bins):
     pos_sorted, sids, proj, r, n = res
+    # the last two attribute rows are (depth, id) by layout convention
+    # (ops/response.py) and the kernel backward never produces cotangents
+    # for them (aux picks are not differentiated) — skipping them keeps the
+    # un-sorts under the operand cliff
+    rd = r - 2
     d_attrs = d_bins.attrs                       # (16, P)
-    unsorted = jax.lax.sort(
-        (pos_sorted,) + tuple(d_attrs[i] for i in range(r)), num_keys=1,
-        is_stable=False)
-    d_pairs = jnp.stack(unsorted[1:], axis=0)    # (r, P) in emit order
+    _, unsorted = _key_sort((pos_sorted,),
+                            tuple(d_attrs[i] for i in range(rd)))
+    d_pairs = jnp.stack(unsorted, axis=0)        # (rd, P) in emit order
     reg = _regions(statics, n)
     if reg is None:
         k = dict(statics)["slots_k"]
-        d_rows = d_pairs[:, :n * k].reshape(r, n, k).sum(axis=2)
-        return _zero_cotangent(proj), d_rows
+        d_rows = d_pairs[:, :n * k].reshape(rd, n, k).sum(axis=2)
+        return (_zero_cotangent(proj),
+                jnp.concatenate([d_rows, jnp.zeros((2, n), jnp.float32)]))
     _, k_a, cap_m, k_m, cap_g, k_g = reg
     og = cap_g * k_g
     om = og + (cap_m - cap_g) * k_m
     oa = om + (n - cap_m) * k_a
     d_sorted = jnp.concatenate([
-        d_pairs[:, :og].reshape(r, cap_g, k_g).sum(axis=2),
-        d_pairs[:, og:om].reshape(r, cap_m - cap_g, k_m).sum(axis=2),
-        d_pairs[:, om:oa].reshape(r, n - cap_m, k_a).sum(axis=2),
+        d_pairs[:, :og].reshape(rd, cap_g, k_g).sum(axis=2),
+        d_pairs[:, og:om].reshape(rd, cap_m - cap_g, k_m).sum(axis=2),
+        d_pairs[:, om:oa].reshape(rd, n - cap_m, k_a).sum(axis=2),
     ], axis=1)
     # back to original splat order via the carried ids
-    back = jax.lax.sort((sids,) + tuple(d_sorted[i] for i in range(r)),
-                        num_keys=1, is_stable=False)
-    return _zero_cotangent(proj), jnp.stack(back[1:], axis=0)
+    _, back = _key_sort((sids,), tuple(d_sorted[i] for i in range(rd)))
+    d_rows = jnp.concatenate([jnp.stack(back, axis=0),
+                              jnp.zeros((2, n), jnp.float32)])
+    return _zero_cotangent(proj), d_rows
 
 
 _bin_slots.defvjp(_bin_slots_fwd, _bin_slots_bwd)
