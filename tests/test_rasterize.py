@@ -152,3 +152,21 @@ def test_packed_pair_format_no_backward():
 
     with pytest.raises(NotImplementedError):
         jax.grad(loss)(splats)
+
+
+def test_ladder_overflow_graceful():
+    """More big splats than the mid-rank budget: overflow flags, image stays
+    finite, and the largest splats keep their wide windows (rank ladder)."""
+    import dataclasses
+
+    n = 8192
+    cfg = RenderConfig(width=256, height=128, sh_degree=0)
+    splats = random_splats(jax.random.key(9), n, sh_degree=0,
+                           scale_range=(-0.8, -0.3))  # all large on screen
+    prepared = splats.prepare()
+    cam = look_at([0, 0, -4], [0, 0, 0], [0, 1, 0], cfg.width, cfg.height)
+    out = render_3dgs(prepared, cam, cfg)
+    assert bool(out.overflow)            # budgets exceeded and reported
+    img = np.asarray(out.image)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.0

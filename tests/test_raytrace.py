@@ -265,3 +265,28 @@ def test_double_bounce_between_facing_mirrors():
     assert np.isfinite(np.asarray(rad3)).all()
     # extra bounces integrate strictly more splat radiance
     assert float(jnp.sum(rad3)) > float(jnp.sum(rad1)) + 1e-4
+
+
+def test_stochastic_pass_unbiased():
+    """The pass-stochastic estimator must average to the deterministic
+    integral (rgen:765-800 Monte-Carlo accept with 1/p correction)."""
+    cfg = RenderConfig(width=8, height=8, sh_degree=0)
+    splats = random_splats(jax.random.key(10), 150, sh_degree=0).prepare()
+    r = 64
+    orig, d = _ray_batch(jax.random.key(11), r, spread=0.05, cone=0.2)
+    det = trace_splats(splats, orig, d, jnp.zeros(r), jnp.full(r, jnp.inf),
+                       cfg, chunk=64, ray_block=64)
+    acc = jnp.zeros((r, 3))
+    samples = 300
+    for s in range(samples):
+        st = trace_splats(splats, orig, d, jnp.zeros(r),
+                          jnp.full(r, jnp.inf), cfg, chunk=64, ray_block=64,
+                          stochastic=True, seed=s)
+        acc = acc + st.radiance
+    mean = np.asarray(acc / samples)
+    ref = np.asarray(det.radiance)
+    # Monte-Carlo gates scaled by the signal: tight on the mean error,
+    # loose on the worst ray
+    sig = max(float(ref.max()), 0.1)
+    assert np.abs(mean - ref).mean() < 0.03 * sig
+    assert np.abs(mean - ref).max() < 0.25 * sig

@@ -131,7 +131,7 @@ def _chunk_alpha_t(block, o, d, kernel_degree, alpha_min, alpha_clamp,
     return jnp.where(mask, jnp.minimum(a_raw, alpha_clamp), 0.0), t_hit
 
 
-@partial(jax.jit, static_argnames=("cfg", "chunk", "ray_block"))
+@partial(jax.jit, static_argnames=("cfg", "chunk", "ray_block", "stochastic"))
 def trace_splats(
     prepared: PreparedSplats,
     origins: jax.Array,        # (R, 3)
@@ -141,9 +141,17 @@ def trace_splats(
     cfg: RenderConfig,
     chunk: int = 512,
     ray_block: int = 1024,
+    stochastic: bool = False,
+    seed: int | jax.Array = 0,
 ) -> TraceResult:
     """Integrate splats along arbitrary rays front-to-back within per-ray
     [t_min, t_max] windows. Radial pre-sort + chunked scan (module docstring).
+
+    stochastic: the pass-stochastic Monte-Carlo estimator
+    (RTX_TRACE_STRATEGY_PASS_STOCHASTIC, rgen:765-800): accept the
+    integrated result with p = 1-T and importance-correct by 1/p (then the
+    ray terminates, T=0); otherwise discard (T=1). Unbiased — average over
+    temporal samples to converge.
     """
     n = prepared.num_splats
     r_total = origins.shape[0]
@@ -206,9 +214,21 @@ def trace_splats(
         return rad, trans, iso_d
 
     rad, trans, iso_d = jax.lax.map(one_block, (o_b, d_b, tmin_b, tmax_b))
+    radiance = rad.reshape(r_pad, 3)[:r_total]
+    trans = trans.reshape(r_pad)[:r_total]
+    if stochastic:
+        key = jax.random.fold_in(jax.random.key(0x57AC),
+                                 jnp.asarray(seed, jnp.int32))
+        u = jax.random.uniform(key, (r_total,))
+        opacity = 1.0 - trans
+        accept = u < opacity
+        radiance = jnp.where(accept[:, None],
+                             radiance / jnp.maximum(opacity, 1e-6)[:, None],
+                             0.0)
+        trans = jnp.where(accept, 0.0, 1.0)
     return TraceResult(
-        radiance=rad.reshape(r_pad, 3)[:r_total],
-        transmittance=trans.reshape(r_pad)[:r_total],
+        radiance=radiance,
+        transmittance=trans,
         depth=iso_d.reshape(r_pad)[:r_total],
     )
 
