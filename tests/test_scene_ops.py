@@ -227,3 +227,29 @@ def test_binning_pairs_against_numpy():
         assert segs[-1][1] == starts[t] + counts[t] and segs[-1][3] == 1
         for a, b in zip(segs, segs[1:]):
             assert a[1] == b[0]  # contiguous coverage
+
+
+def test_sh_band_rotation_exact():
+    """rotate_sh_rest(c, R) evaluated at d == original evaluated at R^-1 d."""
+    import numpy as np
+
+    from vk_gaussian_splatting_tpu.ops.sh import (
+        eval_sh_radiance,
+        rotate_sh_rest,
+    )
+
+    rng = np.random.default_rng(0)
+    sh = jnp.asarray(rng.normal(size=(32, 15, 3)).astype(np.float32))
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    w, x, y, z = q
+    r = np.array([[1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                  [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                  [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+    sh_rot = rotate_sh_rest(sh, r)
+    d = rng.normal(size=(32, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d.astype(np.float32))
+    lhs = eval_sh_radiance(sh_rot, d, 3)
+    rhs = eval_sh_radiance(sh, d @ jnp.asarray(r, jnp.float32), 3)
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=5e-6)

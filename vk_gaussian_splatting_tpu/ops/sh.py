@@ -63,6 +63,59 @@ def sh_basis(dirs: jax.Array, degree: int) -> jax.Array:
     return jnp.stack(cols, axis=-1)
 
 
+def _band_slices(stored_m: int):
+    """[(start, count, degree)] band blocks present in an (N, M, 3) layout."""
+    out = []
+    if stored_m >= 3:
+        out.append((0, 3, 1))
+    if stored_m >= 8:
+        out.append((3, 5, 2))
+    if stored_m >= 15:
+        out.append((8, 7, 3))
+    return out
+
+
+def band_rotation(rotmat, degree: int):
+    """(2l+1, 2l+1) rotation of band-l coefficients for a world rotation R.
+
+    Sampling construction (basis-order agnostic, exact up to fp): pick 2l+1
+    generic unit directions d_i; with A[i,j] = Y_j(d_i) and
+    At[i,j] = Y_j(R^-1 d_i), the rotated function f'(d) = f(R^-1 d)
+    satisfies A c' = At c, so M = A^-1 At. A band rotated this way renders
+    identically to evaluating the original coefficients at inverse-rotated
+    view directions — the exact SH rotation rotated instances need."""
+    import numpy as np
+
+    n = 2 * degree + 1
+    rng = np.random.default_rng(degree * 7919 + 11)
+    d = rng.normal(size=(4 * n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    r = np.asarray(rotmat, np.float64)
+    lo, cnt, _ = {1: (0, 3, 1), 2: (3, 5, 2), 3: (8, 7, 3)}[degree]
+    basis_all = np.asarray(sh_basis(jnp.asarray(d), degree), np.float64)
+    a = basis_all[:, lo:lo + cnt]
+    basis_rot = np.asarray(sh_basis(jnp.asarray(d @ r), degree), np.float64)
+    at = basis_rot[:, lo:lo + cnt]
+    # least squares over 4n samples keeps it robust to unlucky direction sets
+    m, *_ = np.linalg.lstsq(a, at, rcond=None)
+    return m
+
+
+def rotate_sh_rest(sh_rest: jax.Array, rotmat) -> jax.Array:
+    """(N, M, 3) model-space SH coefficients -> world space under the
+    instance rotation R (model->world): block-diagonal per-band rotation."""
+    stored_m = sh_rest.shape[1]
+    parts = []
+    for lo, cnt, deg in _band_slices(stored_m):
+        m = jnp.asarray(band_rotation(rotmat, deg), jnp.float32)
+        parts.append(jnp.einsum("km,nmc->nkc", m,
+                                sh_rest[:, lo:lo + cnt, :].astype(jnp.float32),
+                                precision=jax.lax.Precision.HIGHEST))
+    if not parts:
+        return sh_rest
+    return jnp.concatenate(parts, axis=1)
+
+
 def eval_sh_radiance(sh_rest: jax.Array, dirs: jax.Array, degree: int) -> jax.Array:
     """Additive view-dependent radiance.
 

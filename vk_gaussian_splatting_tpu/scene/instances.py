@@ -208,11 +208,10 @@ class SplatScene:
           mean' = s R mean + t,  quat' = q_T (x) quat,  log-scale' += log(s).
         SH coefficients are view-dependent in *model* space in the reference
         (it evaluates with the inverse-transformed camera,
-        threedgs_raster.mesh.slang:240); baking the rotation into the
-        quaternion keeps geometry exact, and SH is rotated per instance by the
-        same world rotation via the per-splat view direction — rotating SH
-        bands exactly is future work; degree-0 (the dominant term) is
-        rotation-invariant.
+        threedgs_raster.mesh.slang:240); here the bands rotate exactly into
+        world space at bake time (ops/sh.py rotate_sh_rest), so world-space
+        view directions evaluate correctly. Non-rigid transforms use the
+        polar rotation factor of the linear part for SH.
         """
         live = [inst for inst in self.instances if inst.visible]
         if not live:
@@ -235,6 +234,7 @@ class SplatScene:
                 )
                 r = jnp.asarray(quat_to_rotmat(jnp.asarray(q_t)[None])[0],
                                 jnp.float32)
+                r_world = np.asarray(r, np.float64)
                 means2 = jnp.matmul(
                     means, r.T, precision=jax.lax.Precision.HIGHEST) * s \
                     + jnp.asarray(t, jnp.float32)
@@ -255,7 +255,21 @@ class SplatScene:
                 means2 = jnp.asarray(m2)
                 scales2 = jnp.asarray(s2)
                 quats2 = jnp.asarray(q2)
+                # SH rotates by the polar rotation factor of the linear part
+                # (the best single rotation of a non-rigid transform)
+                a_lin = np.asarray(inst.transform, np.float64)[:3, :3]
+                u, _, vt = np.linalg.svd(a_lin)
+                r_world = u @ vt
+                if np.linalg.det(r_world) < 0:
+                    r_world = u @ np.diag([1.0, 1.0, -1.0]) @ vt
             sh = jnp.asarray(asset.sh_rest)
+            if sh.shape[1] > 0 and not np.allclose(r_world, np.eye(3),
+                                                   atol=1e-7):
+                # exact per-band SH rotation: rotated instances keep correct
+                # view-dependent color (the reference evaluates SH with the
+                # inverse-transformed camera, threedgs_raster.mesh.slang:240)
+                from vk_gaussian_splatting_tpu.ops.sh import rotate_sh_rest
+                sh = rotate_sh_rest(sh, r_world)
             m = sh.shape[1]
             if m < max_m:
                 sh = jnp.concatenate(
