@@ -38,7 +38,6 @@ def main(argv=None):
 
     splats = load_scene(args.scene)
     if args.maxSplats:
-        import dataclasses
         splats = SplatSet(**{
             f: np.asarray(getattr(splats, f))[:args.maxSplats]
             for f in ("means", "scales", "quats", "opacities", "sh_dc",

@@ -29,7 +29,6 @@ import jax
 import numpy as np
 
 from vk_gaussian_splatting_tpu.config import Pipeline, RenderConfig, ShFormat, tiles_x, tiles_y
-from vk_gaussian_splatting_tpu.ops.binning import bin_splats
 from vk_gaussian_splatting_tpu.ops.projection import project_splats, ut_project_splats
 from vk_gaussian_splatting_tpu.render.pipelines import render
 from vk_gaussian_splatting_tpu.utils.memstats import MemoryStatistics
@@ -171,7 +170,6 @@ class BenchmarkSequencer:
             from vk_gaussian_splatting_tpu.render.pipelines import (
                 bin_for_cfg,
                 gs_attr_rows,
-                gut_attr_rows,
             )
             return bin_for_cfg(proj, gs_attr_rows(proj), cfg, max_pairs)
 

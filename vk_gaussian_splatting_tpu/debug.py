@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax.numpy as jnp
 import numpy as np
 
 from vk_gaussian_splatting_tpu.config import RenderConfig

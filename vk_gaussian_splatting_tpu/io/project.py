@@ -23,9 +23,9 @@ from vk_gaussian_splatting_tpu.config import (
     ShFormat,
     StochasticMode,
 )
-from vk_gaussian_splatting_tpu.scene.cameras import Camera, CameraSet, make_camera
+from vk_gaussian_splatting_tpu.scene.cameras import CameraSet, make_camera
 from vk_gaussian_splatting_tpu.scene.instances import SplatScene
-from vk_gaussian_splatting_tpu.scene.lights import LightSource, make_light
+from vk_gaussian_splatting_tpu.scene.lights import make_light
 
 PROJECT_VERSION = 1
 

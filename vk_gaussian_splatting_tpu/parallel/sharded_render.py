@@ -28,9 +28,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from vk_gaussian_splatting_tpu.config import RenderConfig, tiles_x, tiles_y
+from vk_gaussian_splatting_tpu.config import RenderConfig, tiles_y
 from vk_gaussian_splatting_tpu.ops.projection import ProjectedSplats, project_splats
 from vk_gaussian_splatting_tpu.ops.rasterize_pallas import (
     assemble_image,

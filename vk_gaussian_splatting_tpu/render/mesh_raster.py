@@ -26,10 +26,9 @@ import numpy as np
 
 from vk_gaussian_splatting_tpu.config import RenderConfig, tiles_x, tiles_y
 from vk_gaussian_splatting_tpu.io.obj import ObjMesh
-from vk_gaussian_splatting_tpu.ops.binning import TileBins, bin_splats
+from vk_gaussian_splatting_tpu.ops.binning import bin_splats
 from vk_gaussian_splatting_tpu.ops.projection import ProjectedSplats
 from vk_gaussian_splatting_tpu.ops.rasterize_pallas import (
-    NUM_ATTRS,
     OUT_COLS,
     PIX,
     TILE,
@@ -37,12 +36,7 @@ from vk_gaussian_splatting_tpu.ops.rasterize_pallas import (
     assemble_image,
     rasterize_bins,
 )
-from vk_gaussian_splatting_tpu.ops.response import (
-    TRI_DEPTH,
-    TRI_ID,
-    TRI_X0,
-    PIX_DEPTH_LIMIT,
-)
+from vk_gaussian_splatting_tpu.ops.response import PIX_DEPTH_LIMIT
 from vk_gaussian_splatting_tpu.scene.cameras import Camera, view_transform_points
 from vk_gaussian_splatting_tpu.scene.lights import compute_light, headlight
 

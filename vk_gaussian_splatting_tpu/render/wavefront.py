@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from vk_gaussian_splatting_tpu.config import RenderConfig, tiles_x, tiles_y
-from vk_gaussian_splatting_tpu.ops.rasterize_pallas import OUT_COLS, PIX, TILE
+from vk_gaussian_splatting_tpu.ops.rasterize_pallas import OUT_COLS, TILE
 from vk_gaussian_splatting_tpu.ops.raytrace import (
     reflect,
     refract_or_reflect,
