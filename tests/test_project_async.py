@@ -115,3 +115,29 @@ def test_host_sorter_and_render_parity():
     # fresh host order == device depth order (same camera)
     np.testing.assert_allclose(np.asarray(out_host.image),
                                np.asarray(out_dev.image), atol=1e-5)
+
+
+def test_project_roundtrips_new_config_fields(tmp_path):
+    import dataclasses as _dc
+
+    from vk_gaussian_splatting_tpu.config import ShutterType
+    from vk_gaussian_splatting_tpu.io.project import (
+        Project,
+        load_project,
+        save_project,
+    )
+    from vk_gaussian_splatting_tpu.scene.cameras import CameraSet
+
+    cfg = RenderConfig(shutter=ShutterType.ROLLING_LEFT_TO_RIGHT)
+    cfg = cfg.replace(raster=_dc.replace(cfg.raster, pair_format="packed"),
+                      rt=_dc.replace(cfg.rt, max_bounces=5))
+    from vk_gaussian_splatting_tpu.scene.instances import SplatScene
+
+    proj = Project(scene=SplatScene(), cameras=CameraSet(), lights=[],
+                   config=cfg, asset_paths=[])
+    path = str(tmp_path / "p.vkgs.json")
+    save_project(path, proj)
+    back = load_project(path)
+    assert back.config.shutter == ShutterType.ROLLING_LEFT_TO_RIGHT
+    assert back.config.raster.pair_format == "packed"
+    assert back.config.rt.max_bounces == 5

@@ -63,6 +63,9 @@ def _config_to_json(cfg: RenderConfig) -> dict:
         "pointCloudModeEnabled": cfg.raster.point_cloud_mode,
         "msAntialiasing": cfg.raster.ms_antialiasing,
         "depthIsoThreshold": cfg.raster.depth_iso_threshold,
+        "shutterType": int(cfg.shutter),
+        "pairFormat": cfg.raster.pair_format,
+        "rtxMaxBounces": cfg.rt.max_bounces,
     }
 
 
@@ -75,9 +78,13 @@ def _config_from_json(item: dict) -> RenderConfig:
         point_cloud_mode=item.get("pointCloudModeEnabled", False),
         ms_antialiasing=item.get("msAntialiasing", False),
         depth_iso_threshold=item.get("depthIsoThreshold", 0.7),
+        pair_format=item.get("pairFormat", "f32"),
     )
-    rt = dataclasses.replace(cfg.rt, kernel_degree=item.get("kernelDegree", 2))
+    rt = dataclasses.replace(cfg.rt, kernel_degree=item.get("kernelDegree", 2),
+                             max_bounces=item.get("rtxMaxBounces", 3))
+    from vk_gaussian_splatting_tpu.config import ShutterType
     return cfg.replace(
+        shutter=ShutterType(item.get("shutterType", int(ShutterType.GLOBAL))),
         pipeline=Pipeline(item.get("pipeline", 1)),
         sh_degree=item.get("maxShDegree", 3),
         sh_format=ShFormat(item.get("shFormat", 0)),
