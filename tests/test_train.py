@@ -72,3 +72,24 @@ def test_prune_and_densify():
     g = jnp.zeros((50, 3)).at[:10].set(1.0)
     grown = densify_split(pruned, g, grad_threshold=0.5)
     assert grown.num_splats == 60
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from vk_gaussian_splatting_tpu.train import (
+        TrainConfig,
+        load_checkpoint,
+        make_optimizer,
+        save_checkpoint,
+    )
+
+    splats = random_splats(jax.random.key(0), 50, sh_degree=1)
+    opt = make_optimizer(TrainConfig())
+    state = opt.init(splats)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, splats, state, step=42)
+    s2, st2, step = load_checkpoint(path, splats, state)
+    assert step == 42
+    np.testing.assert_array_equal(np.asarray(s2.means),
+                                  np.asarray(splats.means))
+    chex = jax.tree.structure(st2) == jax.tree.structure(state)
+    assert chex

@@ -165,3 +165,36 @@ def densify_split(splats: SplatSet, grad_means: jax.Array,
     cat = lambda f: jnp.concatenate([jnp.asarray(getattr(splats, f)),
                                      jnp.asarray(new[f])])
     return SplatSet(**{f: cat(f) for f in new})
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / resume (SURVEY.md §5: the training-side analog of the .vkgs
+# scene project — splat parameters + optimizer state + step, orbax-backed)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str, splats: SplatSet, opt_state, step: int) -> None:
+    """Write an atomic training checkpoint (directory) via orbax."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    tree = {"splats": splats, "opt_state": opt_state,
+            "step": jnp.asarray(step, jnp.int32)}
+    ckptr.save(os.path.abspath(path), tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(path: str, splats_like: SplatSet, opt_state_like):
+    """Restore (splats, opt_state, step) saved by save_checkpoint; the
+    *_like templates supply shapes/dtypes/pytree structure."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    tree = {"splats": splats_like, "opt_state": opt_state_like,
+            "step": jnp.asarray(0, jnp.int32)}
+    restored = ckptr.restore(os.path.abspath(path), tree)
+    return restored["splats"], restored["opt_state"], int(restored["step"])
