@@ -20,22 +20,30 @@ Layout:
 __version__ = "0.1.0"
 
 from vk_gaussian_splatting_tpu.config import (
+    CameraType,
     Pipeline,
     RasterConfig,
     RenderConfig,
     RtConfig,
     ShFormat,
+    ShutterType,
+    StochasticMode,
 )
 from vk_gaussian_splatting_tpu.scene.splat_set import SplatSet, PreparedSplats
-from vk_gaussian_splatting_tpu.scene.cameras import Camera
+from vk_gaussian_splatting_tpu.scene.cameras import Camera, look_at, make_camera
 
 __all__ = [
+    "Camera",
+    "CameraType",
     "Pipeline",
+    "PreparedSplats",
     "RasterConfig",
     "RenderConfig",
     "RtConfig",
     "ShFormat",
+    "ShutterType",
     "SplatSet",
-    "PreparedSplats",
-    "Camera",
+    "StochasticMode",
+    "look_at",
+    "make_camera",
 ]
