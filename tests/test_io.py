@@ -49,6 +49,45 @@ def test_ply_roundtrip(tmp_path):
     assert_splats_close(s2, s3)
 
 
+def test_ply_reordered_properties(tmp_path):
+    """A valid PLY may interleave property groups; the native fast path
+    memcpys contiguous runs, so reordered groups must fall back to the
+    structured-dtype reader instead of parsing garbage."""
+    s = np_splats(sh_degree=0)
+    ref_path = str(tmp_path / "normal.ply")
+    save_ply(ref_path, s)
+    ref = load_ply(ref_path)
+
+    # scale group split by the opacity property
+    names = (["x", "y", "z", "f_dc_0", "f_dc_1", "f_dc_2",
+              "scale_0", "opacity", "scale_1", "scale_2",
+              "rot_0", "rot_1", "rot_2", "rot_3"])
+    n = 64
+    rec = np.zeros(n, dtype=np.dtype([(nm, "<f4") for nm in names]))
+    # save_ply converts RUB->RDF on write; mirror that so loads agree
+    from vk_gaussian_splatting_tpu.scene.splat_set import CoordinateSystem
+    s_rdf = s.convert_coordinates(CoordinateSystem.RUB, CoordinateSystem.RDF)
+    for i, a in enumerate("xyz"):
+        rec[a] = np.asarray(s_rdf.means)[:, i]
+    for i in range(3):
+        rec[f"f_dc_{i}"] = np.asarray(s_rdf.sh_dc)[:, i]
+        rec[f"scale_{i}"] = np.asarray(s_rdf.scales)[:, i]
+    for i in range(4):
+        rec[f"rot_{i}"] = np.asarray(s_rdf.quats)[:, i]
+    rec["opacity"] = np.asarray(s_rdf.opacities)
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element vertex {n}"]
+    header += [f"property float {nm}" for nm in names]
+    header += ["end_header", ""]
+    p = str(tmp_path / "reordered.ply")
+    with open(p, "wb") as f:
+        f.write("\n".join(header).encode("ascii"))
+        rec.tofile(f)
+
+    got = load_ply(p)
+    assert_splats_close(ref, got)
+
+
 def test_ply_no_sh(tmp_path):
     s = np_splats(sh_degree=0)
     p = str(tmp_path / "nosh.ply")

@@ -31,8 +31,17 @@ def test_project_roundtrip(tmp_path):
     m = np.eye(4); m[:3, 3] = [1, 2, 3]
     scene.add_instance(0, transform=m, splat_scale=1.5, name="inst0")
 
+    import dataclasses as dc
     cams = CameraSet()
-    cams.add(look_at([0, 0, -5], [0, 0, 0], [0, 1, 0], 320, 240), "view0")
+    cam0 = look_at([0, 0, -5], [0, 0, 0], [0, 1, 0], 320, 240)
+    # rolling-shutter end pose + OpenCV distortion must round-trip
+    vm_end = np.asarray(cam0.viewmat).copy()
+    vm_end[0, 3] += 0.25
+    dist = np.zeros(18, np.float32)
+    dist[0], dist[6], dist[12] = 0.1, -0.02, 0.3
+    cam0 = dc.replace(cam0, viewmat_end=jnp.asarray(vm_end),
+                      distortion=jnp.asarray(dist))
+    cams.add(cam0, "view0")
     lights = [make_light(LightType.SPOT, position=(1, 1, 1), intensity=2.0,
                          outer_cone_deg=45.0)]
     cfg = RenderConfig(pipeline=Pipeline.MESH_3DGUT, sh_degree=2,
@@ -55,6 +64,10 @@ def test_project_roundtrip(tmp_path):
     assert len(loaded.cameras.cameras) == 1
     np.testing.assert_allclose(np.asarray(loaded.cameras.get().viewmat),
                                np.asarray(cams.get().viewmat), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(loaded.cameras.get().viewmat_end),
+                               vm_end, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(loaded.cameras.get().distortion),
+                               dist, atol=1e-7)
     li = loaded.lights[0]
     assert int(li.type) == int(LightType.SPOT)
     assert float(li.intensity) == 2.0

@@ -55,6 +55,60 @@ def test_overflow_flag():
     assert bool(out2.overflow)
 
 
+def test_schedule_truncation_flushes_and_masks():
+    """A truncated blend schedule (s_total > s_cap) must still flush the
+    boundary tile and mask never-scheduled tiles to background — not pass
+    uninitialized kernel output through assemble_image."""
+    from vk_gaussian_splatting_tpu.config import tiles_x, tiles_y
+    from vk_gaussian_splatting_tpu.ops.binning import bin_splats
+    from vk_gaussian_splatting_tpu.ops.rasterize_pallas import (
+        assemble_image,
+        rasterize_bins,
+    )
+    from vk_gaussian_splatting_tpu.render.pipelines import (
+        gs_attr_rows,
+        raster_statics,
+    )
+
+    cfg, splats, cam = make_scene(n=400)
+    prepared = splats.prepare()
+    proj = project_splats(prepared, cam, cfg)
+    rows = gs_attr_rows(proj)
+    kw = dict(tile_size=16, tiles_x=tiles_x(cfg), tiles_y=tiles_y(cfg))
+
+    full = bin_splats(proj, rows, **kw)
+    assert not bool(full.overflow)
+    # sched_budget of one chunk leaves s_cap = num_tiles + 1 steps
+    trunc = bin_splats(proj, rows, sched_budget=128, **kw)
+    assert bool(trunc.overflow)
+    assert int(jnp.sum(trunc.sched_word & 1)) >= 1  # last flags still fire
+
+    st = raster_statics(cfg, interpret=True)
+    res_f = assemble_image(rasterize_bins(full, None, None, st),
+                           full.seg_counts, st.tiles_x, st.tiles_y,
+                           cfg.width, cfg.height)
+    res_t = assemble_image(rasterize_bins(trunc, None, None, st),
+                           trunc.seg_counts, st.tiles_x, st.tiles_y,
+                           cfg.width, cfg.height)
+    img_t, trans_t = np.asarray(res_t[0]), np.asarray(res_t[1])
+    trans_f = np.asarray(res_f[1])
+    assert np.isfinite(img_t).all() and np.isfinite(trans_t).all()
+    assert trans_t.min() >= 0.0 and trans_t.max() <= 1.0 + 1e-6
+    # blending a prefix of each tile's pairs can only RAISE transmittance
+    assert (trans_t >= trans_f - 1e-5).all()
+    # never-scheduled tiles show exact background
+    counts = np.asarray(trunc.seg_counts)
+    if (counts == 0).any() and (np.asarray(full.seg_counts) > 0).any():
+        masked = ((counts == 0) & (np.asarray(full.seg_counts) > 0))
+        tiles = np.nonzero(masked)[0]
+        tx = st.tiles_x
+        for t in tiles[:4]:
+            y0, x0 = (t // tx) * 16, (t % tx) * 16
+            band = trans_t[y0:y0 + 16, x0:x0 + 16]
+            np.testing.assert_allclose(band[:cfg.height - y0,
+                                            :cfg.width - x0], 1.0)
+
+
 def test_gradients_match_naive():
     cfg, splats, cam = make_scene(n=200, w=64, h=48)
     prepared = splats.prepare()

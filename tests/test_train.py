@@ -53,9 +53,10 @@ def test_overfit_single_view():
     p0 = float(psnr(target, img0))
     splats, losses = init, []
     for _ in range(60):
-        splats, state, loss = train_step(splats, state, cam, target, cfg,
-                                         32768, tc, opt)
+        splats, state, loss, overflow = train_step(
+            splats, state, cam, target, cfg, 32768, tc, opt)
         losses.append(float(loss))
+    assert not bool(overflow)
     img1 = render_3dgs(splats.prepare(), cam, cfg, 32768).image
     p1 = float(psnr(target, img1))
     assert losses[-1] < losses[0] * 0.6, (losses[0], losses[-1])
@@ -71,7 +72,34 @@ def test_prune_and_densify():
 
     g = jnp.zeros((50, 3)).at[:10].set(1.0)
     grown = densify_split(pruned, g, grad_threshold=0.5)
+    # clones add 1 each, splits replace 1 by 2: either way +10
     assert grown.num_splats == 60
+
+
+def test_densify_split_opacity_renorm():
+    """Split children carry renormalized opacity: n children composing at the
+    center must reproduce the parent's alpha, and parents are removed."""
+    import dataclasses as dc
+
+    from vk_gaussian_splatting_tpu.train import reset_opacities
+
+    s = random_splats(jax.random.key(3), 8, sh_degree=0)
+    s = dc.replace(s, scales=jnp.full_like(s.scales, jnp.log(0.5)),
+                   opacities=jnp.full_like(s.opacities, 2.0))  # big + opaque
+    g = jnp.ones((8, 3))
+    out = densify_split(s, g, grad_threshold=0.5, scale_threshold=0.01)
+    assert out.num_splats == 16  # all split: 8 parents -> 16 children
+    o_parent = float(jax.nn.sigmoid(2.0))
+    o_child = np.asarray(jax.nn.sigmoid(out.opacities))
+    np.testing.assert_allclose(1.0 - (1.0 - o_child) ** 2, o_parent,
+                               atol=1e-5)
+    # children scales shrink by 1.6
+    np.testing.assert_allclose(np.exp(np.asarray(out.scales)), 0.5 / 1.6,
+                               rtol=1e-5)
+
+    # opacity reset clamps activated opacity to the ceiling
+    r = reset_opacities(out, ceiling=0.01)
+    assert float(jax.nn.sigmoid(r.opacities).max()) <= 0.01 + 1e-6
 
 
 def test_checkpoint_roundtrip(tmp_path):

@@ -68,7 +68,8 @@ def load_ply(path: str, to_rub: bool = True) -> SplatSet:
         names = [p[0] for p in props]
         dtype = np.dtype(props)
         all_f32 = all(d == "<f4" for _, d in props)
-        if fmt == "binary_little_endian" and all_f32 and native.available():
+        if (fmt == "binary_little_endian" and all_f32 and native.available()
+                and _groups_contiguous(names)):
             # native multithreaded extraction (the miniply analog)
             payload = np.fromfile(f, dtype=np.uint8,
                                   count=n * dtype.itemsize)
@@ -144,6 +145,26 @@ def _from_native(payload: np.ndarray, n: int, names: list[str], stride: int,
         splats = splats.convert_coordinates(CoordinateSystem.RDF,
                                             CoordinateSystem.RUB)
     return splats
+
+
+def _groups_contiguous(names: list[str]) -> bool:
+    """The native extractor memcpys each group (xyz, f_dc, scale, rot,
+    f_rest) as one contiguous 12/16-byte run from its head offset; a valid
+    PLY may reorder properties, which would parse silently as garbage.
+    Gate the fast path on every group actually being consecutive."""
+    def run(group: list[str]) -> bool:
+        if group[0] not in names:
+            return True  # absent group: extractor gets offset -1 (defaults)
+        i0 = names.index(group[0])
+        return names[i0:i0 + len(group)] == group
+
+    groups = [["x", "y", "z"],
+              [f"f_dc_{i}" for i in range(3)],
+              [f"scale_{i}" for i in range(3)],
+              [f"rot_{i}" for i in range(4)]]
+    return all(run(g) for g in groups) and (
+        not any(p.startswith("f_rest_") for p in names)
+        or _contiguous_rest(names))
 
 
 def _contiguous_rest(names: list[str]) -> bool:

@@ -134,6 +134,12 @@ def save_project(path: str, project: Project) -> None:
             {
                 "name": project.cameras.names[i],
                 "viewMatrix": np.asarray(c.viewmat, np.float64).tolist(),
+                # rolling-shutter end pose + OpenCV distortion pack: without
+                # these a saved shutter/fisheye session silently reloads with
+                # an ideal global-shutter lens
+                "viewMatrixEnd": np.asarray(c.viewmat_end,
+                                            np.float64).tolist(),
+                "distortion": np.asarray(c.distortion, np.float64).tolist(),
                 "fx": float(c.fx), "fy": float(c.fy),
                 "cx": float(c.cx), "cy": float(c.cy),
                 "near": float(c.near), "far": float(c.far),
@@ -196,12 +202,18 @@ def load_project(path: str, load_assets: bool = True) -> Project:
 
     cameras = CameraSet()
     for entry in data.get("cameras", []):
+        vm_end = entry.get("viewMatrixEnd")
+        dist = entry.get("distortion")
         cameras.add(
             make_camera(
                 np.asarray(entry["viewMatrix"], np.float32),
                 entry["fx"], entry["fy"], entry["cx"], entry["cy"],
                 entry.get("near", 0.01), entry.get("far", 1e4),
                 entry.get("focusDist", 1.0), entry.get("aperture", 0.0),
+                distortion=(None if dist is None
+                            else np.asarray(dist, np.float32)),
+                viewmat_end=(None if vm_end is None
+                             else np.asarray(vm_end, np.float32)),
             ),
             entry.get("name", ""),
         )

@@ -382,6 +382,7 @@ def _bin_impl(
         sched_budget = min(p_total, max(8 * n, 1 << 20), smem_cap)
     s_cap = schedule_capacity(min(sched_budget, p_total), num_tiles, chunk)
     overflow = overflow | (s_total > s_cap)
+    s_live = jnp.minimum(s_total, s_cap)
     sidx = jnp.arange(s_cap, dtype=jnp.int32)
     seg = jnp.clip(
         jnp.searchsorted(step_starts, sidx, side="right").astype(jnp.int32) - 1,
@@ -390,10 +391,17 @@ def _bin_impl(
     block = first_block[seg] + kstep
     lo = jnp.maximum(tile_starts[seg] - block * chunk, 0)
     hi = jnp.minimum(tile_starts[seg + 1] - block * chunk, chunk)
-    live = sidx < s_total
+    live = sidx < s_live
     tile_field = jnp.where(live, seg, 0x3FFF)
     first = (live & (kstep == 0)).astype(jnp.int32)
-    last = (live & (kstep == nsteps_t[seg] - 1)).astype(jnp.int32)
+    # a truncated schedule (s_total > s_cap) must still flush the boundary
+    # tile's accumulator on its final IN-BUDGET step, or the kernel never
+    # writes that tile and assemble_image passes uninitialized HBM through
+    last = (live & ((kstep == nsteps_t[seg] - 1)
+                    | (sidx == s_live - 1))).astype(jnp.int32)
+    # tiles whose steps all fall past the budget are never written by the
+    # kernel: zero their counts so assemble_image masks them to background
+    seg_counts = jnp.where(step_starts[:-1] < s_live, seg_counts, 0)
     word = ((tile_field << 17)
             | (jnp.where(live, lo, 0) << 10)
             | (jnp.where(live, hi, 0) << 2)

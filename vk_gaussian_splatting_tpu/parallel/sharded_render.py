@@ -127,10 +127,14 @@ def render_3dgut_sharded(splats: SplatSet, cam: Camera, cfg: RenderConfig,
         prepared = prepare_splats(splats_local, cfg.sh_format)
         proj = ut_project_splats(prepared, cam, cfg)
         rows = gut_attr_rows(prepared, proj, cfg)
+        band = jax.lax.axis_index(axis)
+        # the id row (last) is a local arange: offset by the shard base so
+        # ids stay globally unique after the gather (splat_id picks)
+        n_local = rows.shape[1]
+        rows = rows.at[-1].add(jnp.float32(n_local) * band.astype(jnp.float32))
         proj = _gather_proj(proj, axis)
         rows = jax.lax.all_gather(rows, axis, axis=1, tiled=True)
 
-        band = jax.lax.axis_index(axis)
         y_off = (jnp.asarray(band, jnp.float32)
                  * (ty_local * cfg.raster.tile_size))
         shifted = dataclasses.replace(

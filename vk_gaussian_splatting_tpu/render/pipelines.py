@@ -46,6 +46,19 @@ class RenderOutput:
     overflow: jax.Array       # () bool — slot/pair budget truncated coverage
 
 
+def _id_row(n: int) -> jax.Array:
+    """Splat ids ride attribute rows as f32; above 2^24 they lose integer
+    exactness and silently misroute the backward un-sort and splat_id picks
+    (the analog of the reference's explicit 16.7M multi-TLAS boundary,
+    splat_set_manager_vk.cpp:1060). Fail loudly instead — shard sets past
+    this size (parallel/sharded_render)."""
+    if n >= 1 << 24:
+        raise ValueError(
+            f"{n} splats exceed the 2^24 f32-exact id limit of a single "
+            "attribute stream; split the set across instances or shards")
+    return jnp.arange(n, dtype=jnp.int32).astype(jnp.float32)
+
+
 def gs_attr_rows(proj: ProjectedSplats) -> jax.Array:
     """(11, N) per-splat attribute rows in the gs2d layout (ops/response.py).
     Rows ride the binning sorts as payloads — no per-pair gathers."""
@@ -56,7 +69,7 @@ def gs_attr_rows(proj: ProjectedSplats) -> jax.Array:
         proj.alpha,
         proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
         proj.depth,
-        jnp.arange(n, dtype=jnp.int32).astype(jnp.float32),  # GS_ID
+        _id_row(n),  # GS_ID
     ], axis=0)
 
 
@@ -77,7 +90,7 @@ def gs_attr_rows_packed(proj: ProjectedSplats) -> jax.Array:
         pack2bf16(proj.conic[:, 2], proj.depth),
         pack2bf16(proj.color[:, 0], proj.color[:, 1]),
         pack_bf16_u16(proj.color[:, 2], proj.alpha),
-        jnp.arange(n, dtype=jnp.int32).astype(jnp.float32),  # GSP_ID
+        _id_row(n),  # GSP_ID
     ], axis=0)
 
 
@@ -95,7 +108,7 @@ def gut_attr_rows(prepared: PreparedSplats, proj: ProjectedSplats,
         quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3],
         proj.alpha,
         proj.depth,
-        jnp.arange(n, dtype=jnp.int32).astype(jnp.float32),  # GUT_ID
+        _id_row(n),  # GUT_ID
     ], axis=0)
 
 
@@ -119,7 +132,7 @@ def gut_attr_rows_packed(prepared: PreparedSplats, proj: ProjectedSplats,
         pack2bf16(quats[:, 3], proj.depth),
         pack2bf16(proj.color[:, 0], proj.color[:, 1]),
         pack_bf16_u16(proj.color[:, 2], proj.alpha),
-        jnp.arange(n, dtype=jnp.int32).astype(jnp.float32),  # GUTP_ID
+        _id_row(n),  # GUTP_ID
     ], axis=0)
 
 

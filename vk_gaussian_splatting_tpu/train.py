@@ -37,12 +37,15 @@ def l1_loss(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.mean(jnp.abs(a - b))
 
 
-def ssim(a: jax.Array, b: jax.Array, window: int = 11,
+def ssim(a: jax.Array, b: jax.Array, window: int = 11, sigma: float = 1.5,
          c1: float = 0.01 ** 2, c2: float = 0.03 ** 2) -> jax.Array:
-    """Mean SSIM with a box window (channels-last images)."""
+    """Mean SSIM with the standard 11x11 Gaussian window (sigma 1.5) —
+    the window INRIA 3DGS trains against (channels-last images)."""
+    r = jnp.arange(window, dtype=jnp.float32) - (window - 1) / 2.0
+    k = jnp.exp(-0.5 * (r / sigma) ** 2)
+    k = k / jnp.sum(k)
 
     def blur(x):
-        k = jnp.ones((window,), jnp.float32) / window
         pad = window // 2
         xp = jnp.pad(x, ((pad, pad), (0, 0), (0, 0)), mode="edge")
         out = jnp.zeros_like(x)
@@ -110,19 +113,25 @@ def make_optimizer(tc: TrainConfig):
 def train_step(splats: SplatSet, opt_state, cam: Camera, target: jax.Array,
                cfg: RenderConfig, max_pairs: int, tc: TrainConfig,
                optimizer=None):
-    """One optimization step; returns (splats', opt_state', loss)."""
+    """One optimization step; returns (splats', opt_state', loss, overflow).
+
+    overflow is the binning truncation flag of the rendered frame — when it
+    fires, part of the image trained against truncated splat coverage; the
+    caller should re-render with expansion="exact" / a larger slots_k (the
+    analog of the reference's RTX->raster fallback, gaussian_splatting.cpp:
+    371-386) or treat the step as suspect."""
     if optimizer is None:
         raise ValueError("pass optimizer=make_optimizer(tc)")
 
     def loss_fn(s):
         prepared = prepare_splats(s, cfg.sh_format)
         out = render(prepared, cam, cfg, max_pairs)
-        return rgb_loss(out.image, target, tc.ssim_lambda)
+        return rgb_loss(out.image, target, tc.ssim_lambda), out.overflow
 
-    loss, grads = jax.value_and_grad(loss_fn)(splats)
+    (loss, overflow), grads = jax.value_and_grad(loss_fn, has_aux=True)(splats)
     updates, opt_state = optimizer.update(grads, opt_state, splats)
     splats = optax.apply_updates(splats, updates)
-    return splats, opt_state, loss
+    return splats, opt_state, loss, overflow
 
 
 def prune_splats(splats: SplatSet, min_opacity: float = 0.005) -> SplatSet:
@@ -138,33 +147,84 @@ def prune_splats(splats: SplatSet, min_opacity: float = 0.005) -> SplatSet:
 
 def densify_split(splats: SplatSet, grad_means: jax.Array,
                   grad_threshold: float = 2e-4,
-                  scale_threshold: float = 0.01) -> SplatSet:
-    """Clone-or-split densification (3DGS heuristic, host-side)."""
+                  scale_threshold: float = 0.01,
+                  n_split: int = 2,
+                  seed: int = 0) -> SplatSet:
+    """Clone-or-split densification (the 3DGS adaptive-density heuristic,
+    host-side — changes N, so it runs between jit boundaries).
+
+    - **clone** (under-reconstruction: high positional gradient, small
+      splat): duplicate the splat as-is.
+    - **split** (over-reconstruction: high gradient, large splat): REPLACE
+      the splat by n_split children sampled from its own Gaussian, scales
+      divided by 1.6, with opacity renormalized so the composite alpha of
+      the stack matches the parent: o' = 1 - (1 - o)^(1/n) (n overlapping
+      children compose (1-o')^n = 1-o at the center).
+    """
     import numpy as np
 
     g = np.linalg.norm(np.asarray(grad_means), axis=1)
-    big = np.exp(np.asarray(splats.scales)).max(axis=1) > scale_threshold
-    select = (g > grad_threshold)
+    lin_scales = np.exp(np.asarray(splats.scales))
+    big = lin_scales.max(axis=1) > scale_threshold
+    select = g > grad_threshold
     if not select.any():
         return splats
-    idx = np.nonzero(select)[0]
-    rng = np.random.RandomState(0)
+    clone_idx = np.nonzero(select & ~big)[0]
+    split_idx = np.nonzero(select & big)[0]
+    keep_idx = np.nonzero(~(select & big))[0]  # split parents are removed
+
     means = np.asarray(splats.means)
     scales = np.asarray(splats.scales)
-    jitter = rng.normal(size=(len(idx), 3)).astype("float32") * \
-        np.exp(scales[idx])
-    new = {
-        "means": means[idx] + np.where(big[idx, None], jitter, 0.0),
-        "scales": np.where(big[idx, None], scales[idx] - np.log(1.6),
-                           scales[idx]),
-        "quats": np.asarray(splats.quats)[idx],
-        "opacities": np.asarray(splats.opacities)[idx],
-        "sh_dc": np.asarray(splats.sh_dc)[idx],
-        "sh_rest": np.asarray(splats.sh_rest)[idx],
-    }
-    cat = lambda f: jnp.concatenate([jnp.asarray(getattr(splats, f)),
-                                     jnp.asarray(new[f])])
-    return SplatSet(**{f: cat(f) for f in new})
+    quats = np.asarray(splats.quats, np.float64)
+    opac = np.asarray(splats.opacities)
+
+    parts = {f: [np.asarray(getattr(splats, f))[keep_idx]]
+             for f in ("means", "scales", "quats", "opacities", "sh_dc",
+                       "sh_rest")}
+    # clones: verbatim copies (both keep training independently)
+    for f in parts:
+        parts[f].append(np.asarray(getattr(splats, f))[clone_idx])
+
+    if len(split_idx):
+        rng = np.random.RandomState(seed)
+        k = len(split_idx)
+        q = quats[split_idx]
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        rot = np.stack([
+            1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+            2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+            2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+        ], axis=1).reshape(k, 3, 3).astype(np.float32)
+        sig = np.asarray(splats.opacities)[split_idx]
+        o_act = 1.0 / (1.0 + np.exp(-sig))
+        # composite-alpha renormalization, back through the sigmoid
+        o_new = np.clip(1.0 - (1.0 - o_act) ** (1.0 / n_split), 1e-4,
+                        1.0 - 1e-4)
+        sig_new = np.log(o_new / (1.0 - o_new)).astype(np.float32)
+        for _ in range(n_split):
+            canon = rng.normal(size=(k, 3)).astype(np.float32) * \
+                lin_scales[split_idx]
+            parts["means"].append(
+                means[split_idx] + np.einsum("nij,nj->ni", rot, canon))
+            parts["scales"].append(
+                scales[split_idx] - np.float32(np.log(1.6)))
+            parts["quats"].append(np.asarray(splats.quats)[split_idx])
+            parts["opacities"].append(sig_new)
+            parts["sh_dc"].append(np.asarray(splats.sh_dc)[split_idx])
+            parts["sh_rest"].append(np.asarray(splats.sh_rest)[split_idx])
+
+    return SplatSet(**{f: jnp.asarray(np.concatenate(parts[f]))
+                       for f in parts})
+
+
+def reset_opacities(splats: SplatSet, ceiling: float = 0.01) -> SplatSet:
+    """Clamp activated opacities to <= ceiling (the periodic opacity reset of
+    3DGS training — every ~3000 iters — that lets pruning reclaim splats the
+    optimizer saturated)."""
+    sig_ceiling = jnp.log(ceiling / (1.0 - ceiling))
+    return dataclasses.replace(
+        splats, opacities=jnp.minimum(splats.opacities, sig_ceiling))
 
 
 # ---------------------------------------------------------------------------
