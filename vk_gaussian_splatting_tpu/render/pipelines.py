@@ -74,10 +74,11 @@ def gs_attr_rows(proj: ProjectedSplats) -> jax.Array:
 
 
 def gs_attr_rows_packed(proj: ProjectedSplats) -> jax.Array:
-    """(7, N) packed gs2dp rows (ops/response.py): bf16/u16 pairs bitcast
-    into f32 words (xy stays exact f32) — cuts the pair-sort payload count
-    from 11 to 7 (the binning cost driver), mirroring the reference's fp16
-    shformat tier. Forward/rendering only (bit patterns have no gradient)."""
+    """(8, N) packed gs2dp rows (ops/response.py): bf16/u16 pairs bitcast
+    into f32 words (xy and the sort depth stay exact f32) — cuts the
+    pair-sort payload count from 11 to 8 (the binning cost driver),
+    mirroring the reference's fp16 shformat tier. Forward/rendering only
+    (bit patterns have no gradient)."""
     from vk_gaussian_splatting_tpu.ops.response import (
         pack2bf16,
         pack_bf16_u16,
@@ -90,13 +91,19 @@ def gs_attr_rows_packed(proj: ProjectedSplats) -> jax.Array:
         pack2bf16(proj.conic[:, 2], proj.depth),
         pack2bf16(proj.color[:, 0], proj.color[:, 1]),
         pack_bf16_u16(proj.color[:, 2], proj.alpha),
+        proj.depth,  # GSP_SORTD (exact blend-order key + aux depth pick)
         _id_row(n),  # GSP_ID
     ], axis=0)
 
 
 def gut_attr_rows(prepared: PreparedSplats, proj: ProjectedSplats,
-                  cfg: RenderConfig) -> jax.Array:
-    """(16, N) per-splat attribute rows in the gut3d layout."""
+                  cfg: RenderConfig, depth: jax.Array | None = None
+                  ) -> jax.Array:
+    """(16, N) per-splat attribute rows in the gut3d layout.
+
+    depth: overrides the depth row (the blend-order key of the bucket kernel
+    and the aux depth pick) — 3DGRT passes radial distance, reproducing the
+    reference's per-ray-t order for shared-origin primaries (rgen:615-818)."""
     n = proj.xy.shape[0]
     quats = prepared.quats / jnp.linalg.norm(
         prepared.quats, axis=-1, keepdims=True).clip(1e-12)
@@ -107,15 +114,17 @@ def gut_attr_rows(prepared: PreparedSplats, proj: ProjectedSplats,
         proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
         quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3],
         proj.alpha,
-        proj.depth,
+        proj.depth if depth is None else depth,
         _id_row(n),  # GUT_ID
     ], axis=0)
 
 
 def gut_attr_rows_packed(prepared: PreparedSplats, proj: ProjectedSplats,
-                         cfg: RenderConfig) -> jax.Array:
-    """(10, N) packed gut3dp rows (ops/response.py): exact f32 positions,
-    bf16/u16 pairs for scale/quat/rgb/opacity. Forward/rendering only."""
+                         cfg: RenderConfig, depth: jax.Array | None = None
+                         ) -> jax.Array:
+    """(11, N) packed gut3dp rows (ops/response.py): exact f32 positions and
+    sort depth, bf16/u16 pairs for scale/quat/rgb/opacity. Forward/rendering
+    only."""
     from vk_gaussian_splatting_tpu.ops.response import (
         pack2bf16,
         pack_bf16_u16,
@@ -124,14 +133,16 @@ def gut_attr_rows_packed(prepared: PreparedSplats, proj: ProjectedSplats,
     quats = prepared.quats / jnp.linalg.norm(
         prepared.quats, axis=-1, keepdims=True).clip(1e-12)
     scl = jnp.exp(prepared.scales_log) * cfg.splat_scale
+    d = proj.depth if depth is None else depth
     return jnp.stack([
         prepared.means[:, 0], prepared.means[:, 1], prepared.means[:, 2],
         pack2bf16(scl[:, 0], scl[:, 1]),
         pack2bf16(scl[:, 2], quats[:, 0]),
         pack2bf16(quats[:, 1], quats[:, 2]),
-        pack2bf16(quats[:, 3], proj.depth),
+        pack2bf16(quats[:, 3], d),
         pack2bf16(proj.color[:, 0], proj.color[:, 1]),
         pack_bf16_u16(proj.color[:, 2], proj.alpha),
+        d,           # GUTP_SORTD (exact blend-order key + aux depth pick)
         _id_row(n),  # GUTP_ID
     ], axis=0)
 
@@ -151,6 +162,26 @@ def raster_statics(cfg: RenderConfig, interpret: bool | None = None) -> RasterSt
         stochastic=cfg.stochastic == StochasticMode.SPLAT,
         interpret=interpret,
     )
+
+
+def _render_bucket(proj, rows, cfg: RenderConfig, st, *,
+                   depth_override=None, pix_ctx=None, seed=None):
+    """Forward render via the bucket-neighborhood kernel (ops/raster_bucket):
+    one N-row (bucket, depth) sort + per-tile VMEM merge — the fast path
+    replacing pair expansion + the P-row pair sort."""
+    from vk_gaussian_splatting_tpu.ops.bucket_grid import bucket_splats
+    from vk_gaussian_splatting_tpu.ops.raster_bucket import rasterize_buckets
+
+    caps = tuple(cfg.raster.bucket_caps)
+    bins = bucket_splats(proj, rows, tiles_x=st.tiles_x, tiles_y=st.tiles_y,
+                         caps=caps, depth_override=depth_override)
+    out = rasterize_buckets(bins, pix_ctx, seed, st, caps)
+    img, trans, depth, splat_id = assemble_image(
+        out, None, st.tiles_x, st.tiles_y, cfg.width, cfg.height,
+        cfg.background, with_aux=True)
+    return RenderOutput(image=img, transmittance=trans, depth=depth,
+                        splat_id=splat_id,
+                        num_pairs=bins.num_valid, overflow=bins.overflow)
 
 
 def bin_for_cfg(proj, rows, cfg: RenderConfig, max_pairs: int,
@@ -193,11 +224,26 @@ def render_3dgs(
             jnp.arange(n, dtype=jnp.float32))
     packed = cfg.raster.pair_format == "packed"
     rows = gs_attr_rows_packed(proj) if packed else gs_attr_rows(proj)
-    bins = bin_for_cfg(proj, rows, cfg, max_pairs, depth_override)
     st = raster_statics(cfg, interpret)
     if packed:
         st = dataclasses.replace(st, model="gs2dp")
     samples = max(cfg.temporal_samples, 1) if st.stochastic else 1
+    if cfg.raster.method == "bucket":
+        img = trans = depth = splat_id = out0 = None
+        for sample in range(samples):
+            seed = jnp.full((1,), sample * 7919 + 1, jnp.int32)
+            o = _render_bucket(proj, rows, cfg, st,
+                               depth_override=depth_override, seed=seed)
+            img = o.image if img is None else img + o.image
+            trans = (o.transmittance if trans is None
+                     else trans + o.transmittance)
+            if out0 is None:
+                out0, depth, splat_id = o, o.depth, o.splat_id
+        return dataclasses.replace(
+            out0,
+            image=img / samples if samples > 1 else img,
+            transmittance=trans / samples if samples > 1 else trans)
+    bins = bin_for_cfg(proj, rows, cfg, max_pairs, depth_override)
     img = trans = depth = splat_id = None
     for sample in range(samples):
         seed = jnp.full((1,), sample * 7919 + 1, jnp.int32)
@@ -215,6 +261,27 @@ def render_3dgs(
         depth=depth, splat_id=splat_id,
         num_pairs=bins.num_pairs, overflow=bins.overflow,
     )
+
+
+def _blend_samples_bucket(proj, rows, cam, cfg, st, depth_override=None):
+    """Temporal-sample loop over the bucket kernel (gut3d/3DGRT paths)."""
+    from vk_gaussian_splatting_tpu.render.rays import build_tile_rays
+
+    samples = max(cfg.temporal_samples, 1)
+    img = trans = out0 = None
+    for sample in range(samples):
+        pix_ctx = build_tile_rays(cam, cfg, sample_id=sample)
+        seed = jnp.full((1,), sample * 7919 + 1, jnp.int32)
+        o = _render_bucket(proj, rows, cfg, st, depth_override=depth_override,
+                           pix_ctx=pix_ctx, seed=seed)
+        img = o.image if img is None else img + o.image
+        trans = o.transmittance if trans is None else trans + o.transmittance
+        if out0 is None:
+            out0 = o
+    return dataclasses.replace(
+        out0,
+        image=img / samples if samples > 1 else img,
+        transmittance=trans / samples if samples > 1 else trans)
 
 
 def _blend_samples(bins: TileBins, cam, cfg, st):
@@ -255,10 +322,12 @@ def render_3dgut(
     packed = cfg.raster.pair_format == "packed"
     rows = (gut_attr_rows_packed if packed else gut_attr_rows)(
         prepared, proj, cfg)
-    bins = bin_for_cfg(proj, rows, cfg, max_pairs)
     st = dataclasses.replace(
         raster_statics(cfg, interpret), model="gut3dp" if packed else "gut3d",
         kernel_degree=cfg.rt.kernel_degree)
+    if cfg.raster.method == "bucket":
+        return _blend_samples_bucket(proj, rows, cam, cfg, st)
+    bins = bin_for_cfg(proj, rows, cfg, max_pairs)
     img, trans, depth, splat_id = _blend_samples(bins, cam, cfg, st)
     return RenderOutput(image=img, transmittance=trans, depth=depth,
                         splat_id=splat_id, num_pairs=bins.num_pairs,
@@ -287,14 +356,21 @@ def render_3dgrt(
     proj = ut_project_splats(prepared, cam, cfg)
     radial = jnp.linalg.norm(prepared.means - cam.position, axis=-1)
     packed = cfg.raster.pair_format == "packed"
-    rows = (gut_attr_rows_packed if packed else gut_attr_rows)(
-        prepared, proj, cfg)
-    bins = bin_for_cfg(proj, rows, cfg, max_pairs, depth_override=radial)
     st = dataclasses.replace(
         raster_statics(cfg, interpret), model="gut3dp" if packed else "gut3d",
         kernel_degree=cfg.rt.kernel_degree,
         alpha_clamp=cfg.rt.alpha_clamp,
         min_transmittance=cfg.rt.min_transmittance)
+    if cfg.raster.method == "bucket":
+        # the bucket kernel orders by the depth row: carry radial distance
+        # there so the blend matches the per-ray-t order (rgen:615-818)
+        rows = (gut_attr_rows_packed if packed else gut_attr_rows)(
+            prepared, proj, cfg, depth=radial)
+        return _blend_samples_bucket(proj, rows, cam, cfg, st,
+                                     depth_override=radial)
+    rows = (gut_attr_rows_packed if packed else gut_attr_rows)(
+        prepared, proj, cfg)
+    bins = bin_for_cfg(proj, rows, cfg, max_pairs, depth_override=radial)
     img, trans, depth, splat_id = _blend_samples(bins, cam, cfg, st)
     return RenderOutput(image=img, transmittance=trans, depth=depth,
                         splat_id=splat_id, num_pairs=bins.num_pairs,
