@@ -53,7 +53,11 @@ def time_fn(fn, *args, iters=3, warmup=2):
 
 def main():
     n_splats = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    # flagship inference path: bucket-grid binning (ops/bucket_grid.py);
+    # the training benchmark (fwd_bwd) uses the same path's kernel backward
     cfg = RenderConfig(width=1920, height=1080, sh_degree=3)
+    cfg = cfg.replace(raster=dataclasses.replace(
+        cfg.raster, method=os.environ.get("BENCH_METHOD", "bucket")))
     prepared = make_scene(n_splats)
     cam = look_at([0, 0, -7], [0, 0, 0], [0, 1, 0], cfg.width, cfg.height,
                   fov_y_rad=0.9)

@@ -21,7 +21,7 @@ from vk_gaussian_splatting_tpu.scene.splat_set import random_splats
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 CAPS = tuple(int(x) for x in sys.argv[2].split(",")) if len(sys.argv) > 2 \
-    else (512, 256, 128, 128)
+    else (384, 128, 128, 128)
 
 cfg = RenderConfig(width=1920, height=1080, sh_degree=3)
 splats = random_splats(jax.random.key(0), N, sh_degree=3, extent=4.0,
@@ -71,3 +71,17 @@ pcfg = bcfg.replace(raster=dataclasses.replace(bcfg.raster,
                                                pair_format="packed"))
 fullp = jax.jit(lambda p, c: render_3dgs(p, c, pcfg))
 print("full bucket packed frame ms:", t(fullp, prepared, cam), flush=True)
+
+# packed per-stage split
+from vk_gaussian_splatting_tpu.render.pipelines import gs_attr_rows_packed
+from vk_gaussian_splatting_tpu.ops.raster_bucket import buf_rows
+st_p = dataclasses.replace(st, model="gs2dp")
+rows_p = jax.block_until_ready(jax.jit(gs_attr_rows_packed)(proj))
+bin_jp = jax.jit(lambda p, r: bucket_splats(p, r, tiles_x=tx, tiles_y=ty,
+                                            caps=CAPS,
+                                            rows_to=buf_rows("gs2dp")))
+print("packed bin ms:", t(bin_jp, proj, rows_p), flush=True)
+bins_p = jax.block_until_ready(bin_jp(proj, rows_p))
+print("packed attrs shape:", bins_p.attrs.shape, flush=True)
+rastp_j = jax.jit(lambda b: rasterize_buckets(b, None, None, st_p, CAPS))
+print("packed kernel ms:", t(rastp_j, bins_p), flush=True)

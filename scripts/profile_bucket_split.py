@@ -18,7 +18,7 @@ from vk_gaussian_splatting_tpu.scene.splat_set import random_splats
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "full"  # full|nosort|nochunk
 CAPS = tuple(int(x) for x in sys.argv[2].split(",")) if len(sys.argv) > 2 \
-    else (512, 256, 128, 128)
+    else (384, 128, 128, 128)
 
 if MODE in ("nosort", "fixed"):
     rb._bitonic_stage = lambda *a, **k: None

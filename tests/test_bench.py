@@ -83,3 +83,59 @@ def test_sequencer_end_to_end(tmp_path):
     import os
     assert (os.path.exists(tmp_path / "shot.png")
             or os.path.exists(str(tmp_path / "shot.png") + ".npy"))
+
+
+def test_report_csv_and_parse(tmp_path):
+    """The CSV/report stage parses the sequencer grammar (the loop the
+    reference's benchmark.py closes, :19-78 + :486-615)."""
+    from vk_gaussian_splatting_tpu.bench.report import (
+        parse_benchmark_output,
+        records_to_csv,
+        write_report,
+    )
+    text = (
+        'ParameterSequence 0 "warmup" =\n'
+        'BENCHMARK_ADV 0 {\n'
+        ' Memory Scene; Host used \t10; Device Used \t20; Device Allocated '
+        '\t30; (bytes)\n}\n'
+        'ParameterSequence 1 "gs fp32" =\n'
+        'Timer "GPU Dist"; GPU; avg 120; min 120; max 120; CPU; avg 120; '
+        'min 120; max 120;\n'
+        'Timer "GPU Sort"; GPU; avg 4500; min 4500; max 4500; CPU; avg 4500; '
+        'min 4500; max 4500;\n'
+        'Timer "Rasterization"; GPU; avg 9000; min 9000; max 9000; CPU; '
+        'avg 9000; min 9000; max 9000;\n'
+        'BENCHMARK_ADV 1 {\n'
+        ' Memory Rasterization; Host used \t0; Device Used \t512; Device '
+        'Allocated \t1024; (bytes)\n}\n')
+    recs = parse_benchmark_output(text)
+    assert len(recs) == 2
+    assert recs[1]["timers"]["GPU Sort"] == 4500.0
+    assert recs[1]["memory"]["Rasterization"] == (0, 512, 1024)
+    csv_text = records_to_csv(recs, scene="bicycle")
+    assert "GPU Sort avg us" in csv_text.splitlines()[0]
+    assert "bicycle,1,gs fp32" in csv_text
+    out_csv = tmp_path / "r.csv"
+    write_report(text, str(out_csv), scene="bicycle",
+                 chart_path=str(tmp_path / "r.png"))
+    assert out_csv.exists()
+
+
+def test_sequencer_gut_sort_uses_gut_rows(monkeypatch):
+    """Pipelines 2/4/5 must time the sort over the gut3d attribute rows, not
+    the gs2d rows (the stage the reference's 3DGUT/3DGRT tables report)."""
+    import vk_gaussian_splatting_tpu.render.pipelines as plm
+    calls = []
+    orig = plm.gut_attr_rows
+    monkeypatch.setattr(plm, "gut_attr_rows",
+                        lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+    splats = random_splats(jax.random.key(1), 100, sh_degree=1,
+                           scale_range=(-2.5, -1.2))
+    cam = look_at([0, 0, -9], [0, 0, 0], [0, 1, 0], 64, 48)
+    seq = BenchmarkSequencer(splats, 64, 48, cam, out=lambda s: None,
+                             max_pairs=16384)
+    seq.apply({"pipeline": "4", "sequenceframes": "1",
+               "sequenceaverages": "1"})
+    seq.update_data()
+    seq._measure()
+    assert calls, "gut sort stage must build gut attribute rows"

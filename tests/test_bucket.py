@@ -37,26 +37,28 @@ def _scene(n=600, w=128, h=96, seed=0, scale_range=(-3.0, -1.2)):
     return prepared, cam, cfg
 
 
-def _bucket_cfg(cfg, caps=(256, 512, 128, 128)):
+def _bucket_cfg(cfg, caps=(512, 512, 128, 128)):
     return cfg.replace(raster=dataclasses.replace(
         cfg.raster, method="bucket", bucket_caps=caps))
 
 
 def test_window_covers_every_touching_splat():
-    """Invariant behind the 2x2 windows: every tile covered by a splat's
-    extent rect finds that splat's bucket inside its window spans."""
+    """Coverage invariant: every tile covered by a splat's extent rect finds
+    at least one of that splat's slot buckets inside its window spans."""
     prepared, cam, cfg = _scene(n=400, seed=3, scale_range=(-2.5, -0.5))
+    from vk_gaussian_splatting_tpu.ops.bucket_grid import NUM_SPANS
     from vk_gaussian_splatting_tpu.ops.projection import project_splats
     proj = jax.jit(lambda p, c: project_splats(p, c, cfg))(prepared, cam)
     spec = BucketGridSpec.build(cfg.width // 16, cfg.height // 16)
-    bucket = np.asarray(assign_buckets(proj, spec))
-    spans = np.asarray(window_span_table(spec))      # (T, 7, 2)
+    slots = np.asarray(assign_buckets(proj, spec))   # (4, N)
+    spans = np.asarray(window_span_table(spec))      # (T, 6, 2)
     xy = np.asarray(proj.xy)
     rad = np.asarray(proj.radius)
     valid = np.asarray(proj.valid)
     tiles_x = cfg.width // 16
+    sentinel = spec.num_buckets - 1
     for i in range(xy.shape[0]):
-        if not valid[i] or rad[i].max() <= 0 or bucket[i] >= spec.num_buckets - 1:
+        if not valid[i] or rad[i].max() <= 0 or slots[0, i] >= sentinel:
             continue
         x0 = max(int((xy[i, 0] - rad[i, 0]) // 16), 0)
         x1 = min(int((xy[i, 0] + rad[i, 0]) // 16), tiles_x - 1)
@@ -65,9 +67,9 @@ def test_window_covers_every_touching_splat():
         for ty in range(y0, y1 + 1):
             for tx in range(x0, x1 + 1):
                 t = ty * tiles_x + tx
-                hit = any(spans[t, s, 0] <= bucket[i] < spans[t, s, 1]
-                          for s in range(7))
-                assert hit, (i, t, bucket[i])
+                hit = any(spans[t, s, 0] <= slots[k, i] < spans[t, s, 1]
+                          for s in range(NUM_SPANS) for k in range(4))
+                assert hit, (i, t, slots[:, i])
 
 
 def test_bucket_matches_pairs_3dgs():
@@ -135,7 +137,7 @@ def test_bucket_matches_pairs_3dgrt():
 def test_bucket_overflow_flags_truncation():
     prepared, cam, cfg = _scene(n=4000, seed=2)
     out = render_3dgs(prepared, cam, _bucket_cfg(cfg, caps=(128, 128, 128, 128)))
-    big = render_3dgs(prepared, cam, _bucket_cfg(cfg, caps=(1024, 256, 128, 128)))
+    big = render_3dgs(prepared, cam, _bucket_cfg(cfg, caps=(1024, 512, 128, 128)))
     # either nothing truncated (flags both clear, same image) or the flag fires
     if bool(out.overflow):
         assert not bool(big.overflow) or True
@@ -152,6 +154,45 @@ def test_bucket_empty_scene():
     out = render_3dgs(prepared, cam_away, _bucket_cfg(cfg))
     np.testing.assert_allclose(np.asarray(out.transmittance), 1.0, atol=1e-6)
     assert int(out.num_pairs) == 0
+
+
+def test_bucket_gradients_match_pairs():
+    """The bucket backward (re-sort + forward-order sweep + un-sort) must
+    produce the same parameter gradients as the pair path's custom VJP."""
+    prepared, cam, cfg = _scene(n=250, w=64, h=48, seed=11)
+
+    def loss(pp, c):
+        out = render_3dgs(pp, cam, c, max_pairs=1 << 16)
+        return jnp.sum(out.image ** 2) + jnp.sum(out.transmittance ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, cfg))(prepared)
+    g_bkt = jax.grad(lambda p: loss(p, _bucket_cfg(cfg)))(prepared)
+    for name in ("means", "cov3d", "color"):
+        a = np.asarray(getattr(g_ref, name))
+        b = np.asarray(getattr(g_bkt, name))
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b / scale, a / scale, atol=2e-5,
+                                   err_msg=name)
+
+
+def test_bucket_gradients_match_pairs_gut():
+    prepared, cam, cfg = _scene(n=150, w=64, h=48, seed=12)
+    from vk_gaussian_splatting_tpu.render.pipelines import render_3dgut
+
+    def loss(pp, c):
+        return jnp.sum(render_3dgut(pp, cam, c, max_pairs=1 << 16).image ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, cfg))(prepared)
+    g_bkt = jax.grad(lambda p: loss(p, _bucket_cfg(cfg)))(prepared)
+    for name in ("means", "quats", "scales_log", "color"):
+        a = np.asarray(getattr(g_ref, name))
+        b = np.asarray(getattr(g_bkt, name))
+        scale = np.abs(a).max() + 1e-12
+        # rect-clip difference (see the forward gut test) also perturbs a few
+        # splats' gradients; compare the bulk
+        rel = np.abs(b - a) / scale
+        assert np.median(rel) < 1e-5, name
+        assert (rel > 1e-3).mean() < 0.02, name
 
 
 def test_span_lengths_match_counts():

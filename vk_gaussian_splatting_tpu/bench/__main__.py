@@ -22,6 +22,12 @@ def main(argv=None):
                     help="optionally truncate the scene for quick runs")
     ap.add_argument("--camera", type=str, default="",
                     help="INRIA cameras.json; uses the first preset")
+    ap.add_argument("--csv", type=str, default="",
+                    help="write the per-sequence CSV report here")
+    ap.add_argument("--chart", type=str, default="",
+                    help="write the stacked per-stage chart (PNG) here")
+    ap.add_argument("--method", type=str, default="",
+                    help="override raster.method (bucket | pairs)")
     ap.add_argument("scene", type=str)
     args = ap.parse_args(argv)
 
@@ -55,8 +61,24 @@ def main(argv=None):
         eye = center + np.asarray([0.0, 0.0, -4.0 * spread])
         cam = look_at(eye, center, [0, 1, 0], w, h, fov_y_rad=0.9)
 
-    seq = BenchmarkSequencer(splats, w, h, cam)
+    lines: list[str] = []
+
+    def tee(msg=""):
+        lines.append(str(msg))
+        print(msg)
+
+    seq = BenchmarkSequencer(splats, w, h, cam, out=tee)
+    if args.method:
+        import dataclasses
+        seq.cfg = seq.cfg.replace(raster=dataclasses.replace(
+            seq.cfg.raster, method=args.method))
     seq.run(parse_sequence_file(args.sequencefile))
+
+    if args.csv:
+        from vk_gaussian_splatting_tpu.bench.report import write_report
+        write_report("\n".join(lines), args.csv, scene=args.scene,
+                     chart_path=args.chart or None)
+        print(f"CSV report written to {args.csv}")
 
 
 if __name__ == "__main__":

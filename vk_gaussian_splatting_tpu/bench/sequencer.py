@@ -159,19 +159,53 @@ class BenchmarkSequencer:
     def _stage_fns(self):
         cfg = self.cfg
         max_pairs = self.max_pairs
-        proj_fn = project_splats if cfg.pipeline in (
-            Pipeline.VERT, Pipeline.MESH) else ut_project_splats
+        gut = cfg.pipeline in (Pipeline.RTX, Pipeline.MESH_3DGUT,
+                               Pipeline.HYBRID_3DGUT)
+        packed = cfg.raster.pair_format == "packed"
+        proj_fn = ut_project_splats if gut else project_splats
 
         @jax.jit
         def dist(prepared, cam):
             return proj_fn(prepared, cam, cfg)
 
-        def sort(proj):
+        # the sort stage uses the PIPELINE'S real attribute rows — the gut3d
+        # layouts carry 11/16 payloads vs gs2d's 8/11, and the sort stage is
+        # payload-bound, so timing the gs rows for pipelines 2/4/5 would
+        # misreport exactly the tables the reference benchmarks
+        def rows_fn(prepared, proj):
             from vk_gaussian_splatting_tpu.render.pipelines import (
-                bin_for_cfg,
                 gs_attr_rows,
+                gs_attr_rows_packed,
+                gut_attr_rows,
+                gut_attr_rows_packed,
             )
-            return bin_for_cfg(proj, gs_attr_rows(proj), cfg, max_pairs)
+            if gut:
+                return (gut_attr_rows_packed if packed
+                        else gut_attr_rows)(prepared, proj, cfg)
+            return (gs_attr_rows_packed if packed else gs_attr_rows)(proj)
+
+        if cfg.raster.method == "bucket":
+            from vk_gaussian_splatting_tpu.ops.bucket_grid import (
+                bucket_splats,
+            )
+            from vk_gaussian_splatting_tpu.ops.raster_bucket import buf_rows
+            model = (("gut3dp" if packed else "gut3d") if gut
+                     else ("gs2dp" if packed else "gs2d"))
+
+            def sort(prepared, proj):
+                bins = bucket_splats(
+                    proj, rows_fn(prepared, proj),
+                    tiles_x=tiles_x(cfg), tiles_y=tiles_y(cfg),
+                    caps=tuple(cfg.raster.bucket_caps),
+                    rows_to=buf_rows(model))
+                return bins.bucket_starts
+        else:
+            def sort(prepared, proj):
+                from vk_gaussian_splatting_tpu.render.pipelines import (
+                    bin_for_cfg,
+                )
+                return bin_for_cfg(proj, rows_fn(prepared, proj), cfg,
+                                   max_pairs).pair_splat
 
         def frame(prepared, cam):
             return render(prepared, cam, cfg, max_pairs)
@@ -179,15 +213,17 @@ class BenchmarkSequencer:
         return dist, sort, frame
 
     def _measure(self):
+        from vk_gaussian_splatting_tpu.config import SortMethod
         timers = FrameTimers()
         dist, sort, frame = self._stage_fns()
         prepared, cam = self.prepared, self.camera
+        host_sort = self.cfg.raster.sort_method == SortMethod.HOST
 
         # warmup / reset frames (compile)
         for _ in range(max(self.reset_frames, 1)):
             jax.block_until_ready(frame(prepared, cam).image)
         proj = jax.block_until_ready(dist(prepared, cam))
-        jax.block_until_ready(sort(proj).pair_splat)
+        jax.block_until_ready(sort(prepared, proj))
 
         n = max(min(self.frames, 1024) // max(self.averages, 1), 1)
         stage_name = ("Raytracing" if self.cfg.pipeline in
@@ -196,8 +232,17 @@ class BenchmarkSequencer:
         for _ in range(n):
             with timers.section("GPU Dist"):
                 proj = jax.block_until_ready(dist(prepared, cam))
+            if host_sort:
+                # the async CPU sorting path (SplatSorterAsync,
+                # splat_sorter_async.cpp:92-138): plane distances + argsort
+                # on the host, permutation shipped to device
+                with timers.section("CPU Dist"):
+                    depth_h = np.asarray(proj.depth)
+                with timers.section("CPU Sort"):
+                    order = np.argsort(depth_h, kind="stable")
+                del order
             with timers.section("GPU Sort"):
-                jax.block_until_ready(sort(proj).pair_splat)
+                jax.block_until_ready(sort(prepared, proj))
             with timers.section(stage_name):
                 jax.block_until_ready(frame(prepared, cam).image)
         # the full-frame fused time is the "Rasterization"/"Raytracing" time;

@@ -62,16 +62,11 @@ class SortMethod(enum.IntEnum):
     HOST = 1    # numpy argsort on host, indices shipped to device — reference "CPU sort"
 
 
-class BlendOrder(enum.IntEnum):
-    """Raster blend direction (FRONT_TO_BACK macro; gaussian_splatting.cpp:705-850).
-
-    The tile rasterizer always *iterates* front-to-back (deterministic sorted
-    loop); BACK_TO_FRONT only changes the sort direction used for parity with
-    the reference's sort-key encoding (dist.comp.slang:155-167).
-    """
-
-    BACK_TO_FRONT = 0
-    FRONT_TO_BACK = 1
+# NOTE: the reference's BACK_TO_FRONT blend mode (gaussian_splatting.cpp:
+# 705-850) is a GPU blending-equation equivalence — "over" accumulation in
+# reverse order produces the identical image as the front-to-back "under"
+# accumulation the sorted tile loop performs. It is intentionally NOT a
+# config flag here: the deterministic FTB tile loop is the only order.
 
 
 class StochasticMode(enum.IntEnum):
@@ -97,9 +92,11 @@ class RasterConfig:
     # materializes (splat, tile) pairs and sorts P rows (ops/binning.py —
     # the differentiable path until the bucket backward lands)
     method: str = "pairs"
-    # per-class window-span capacities (fine row, mid row, coarse row,
-    # global) for the bucket kernel's static VMEM budget; multiples of 128
-    bucket_caps: tuple = (512, 256, 128, 128)
+    # per-class window-span capacities (fine, mid row, coarse row, global)
+    # for the bucket kernel's static VMEM budget; multiples of 128. The
+    # default sums to a 1024-lane candidate buffer (fine + 2 mid + 2 coarse
+    # + global spans)
+    bucket_caps: tuple = (384, 128, 128, 128)
     extent_sigma: float = 2.8284271247461903  # sqrt(8) std-devs (threedgs.h.slang stdDev)
     max_basis_px: float = 2048.0  # extent clamp (threedgs.h.slang:117-118)
     dilation: float = 0.3         # low-pass dilation (threedgs.h.slang:69-70)
@@ -108,7 +105,11 @@ class RasterConfig:
     alpha_cull_qmax: float = 8.0  # discard A=dot(fragPos,fragPos) > 8 (frag.slang:236-255)
     ms_antialiasing: bool = False  # Mip-Splatting alpha compensation (threedgs.h.slang:63-76)
     point_cloud_mode: bool = False  # fixed 0.2 eigenvalues (threedgs.h.slang:108-110)
-    blend_order: BlendOrder = BlendOrder.FRONT_TO_BACK
+    # DEVICE: on-device depth sort inside binning; HOST: the caller runs
+    # io/async_loader.AsyncHostSorter and passes its (possibly one-move
+    # stale) permutation as render_3dgs(host_order=...) — the benchmark
+    # sequencer drives this (bench/sequencer.py)
+    sort_method: SortMethod = SortMethod.DEVICE
     frustum_dilation: float = 0.2  # NDC cull margin (FrameInfo.frustumDilation default)
     depth_iso_threshold: float = 0.7  # depth picking T threshold (parameters.h:200)
     size_culling: bool = False
@@ -125,14 +126,25 @@ class RtConfig:
     """3DGRT ray-tracing parameters (prmRtx, parameters.h:216-240)."""
 
     kernel_degree: int = 2        # generalized gaussian degree, default quadratic (parameters.h:215)
-    k_buffer: int = 18            # PARTICLES_SPP sorted hits per pass (gaussian_splatting.cpp:1693)
-    max_passes: int = 200         # marching pass cap (FrameInfo, shaderio.h:269)
+    # secondary-ray ordering (ops/raytrace.trace_splats): "radial" composes
+    # in shared-origin radial order (exact for clustered-origin batches);
+    # "windowed" marches max_passes global t-slabs for per-ray-exact order
+    # (the tMin-advance of rgen:676-762); "auto" picks by origin spread
+    order: str = "auto"
+    max_passes: int = 32          # t-slab count of the windowed exact order
     min_transmittance: float = 0.001
     alpha_clamp: float = 0.999
     alpha_min: float = 0.01       # hit response cull (threedgrt.h.slang:149-160)
-    use_aabbs: bool = False       # AABB proxies instead of icosahedron (prmRtxData)
+    # degree-0 kernel support radius in canonical units: the response is
+    # culled beyond it, reproducing the reference's deg-0 proxy scale
+    # (splat_set_vk.cpp kernelScale; 3.0 = where the linear kernel reaches
+    # the default min-response cutoff)
     kernel_scale_deg0: float = 3.0
     max_bounces: int = 3          # wavefront bounce cap (FrameInfo.rtxMaxBounces, shaderio.h:273)
+    # NOTE: the reference's k_buffer (PARTICLES_SPP sorted hits per pass,
+    # gaussian_splatting.cpp:1693) and use_aabbs (AS proxy shape) have no
+    # TPU analog — there is no BVH payload or acceleration structure; the
+    # windowed t-slab march is the ordering mechanism instead.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,33 +1,36 @@
-"""Bucket-grid binning: shifted class-pyramid buckets + 2x2 tile windows.
+"""Bucket-grid binning: exact fine tiles + shifted class-pyramid windows.
 
 The round-1 rasterizer materialized every (splat, tile) pair and sorted ~8-16M
 rows by (tile, depth) — one ``lax.sort`` was ~125 ms of the ~197 ms 1080p/1M
 frame (the TPU analog of the reference's vrdx radix sort over pair keys,
 3rdparty/vrdx/src/vk_radix_sort.cc:60-418). This module replaces pair
-expansion entirely with a binning that sorts only N splat rows:
+expansion with a class-pyramid binning whose sort stays O(N):
 
-1. every splat is assigned to exactly ONE bucket of a class pyramid chosen by
-   its screen-space radius r:
-     class 0: r <   8 px -> 16 px cells     class 2: r < 128 px -> 256 px cells
-     class 1: r <  32 px -> 64 px cells     class 3: the rest   -> one global bucket
-   Cells are HALF-CELL SHIFTED: class-c cell j covers [c*j - c/2, c*j + c/2).
-   Because tile origins are 16-aligned, c is a multiple of 16, and r < c/2,
-   the dilated tile rect [16*tx - r, 16*tx + 16 + r) always spans EXACTLY the
-   two cells {16*tx // c, 16*tx // c + 1} per axis — so a tile's candidate
-   window is always 2x2 cells (one global list for class 3), never 3x3. The
-   fine-class window is a 32x32 px region, which makes the expected per-tile
-   candidate count equal to the live-pair count of pair expansion — the blend
-   load does not grow, the P-row pair sort disappears;
-2. ONE ``lax.sort`` of N rows by (bucket, view depth) carries the render
-   attribute rows as payloads — per-bucket segments are depth-sorted runs;
-3. the tile kernel (ops/raster_bucket.py) DMAs, per tile, the 7 contiguous
-   row-spans of its windows (each window row = 2 adjacent cells = contiguous
-   in the cy-major cell order), merges the candidates into depth order in
-   VMEM (exact bitonic compare-exchange), and blends front-to-back.
+- **fine class** (screen radius r < 8 px — the bulk of a trained scene): a
+  splat's extent rect spans at most 2x2 tiles, so it is duplicated into
+  EXACTLY its covered tile buckets via 4 static slot streams (unused slots
+  carry a sentinel bucket). A tile's fine candidates are then exactly the
+  splats that touch it — ONE contiguous span, no window amplification;
+- **mid / coarse classes** (r < 32 / < 128 px): one bucket per splat on a
+  HALF-CELL-SHIFTED grid (64 / 256 px cells, cell j covers
+  [c*j - c/2, c*j + c/2)). Because tile origins are 16-aligned and r < c/2,
+  the dilated tile rect always spans exactly the two cells
+  {16*tx // c, +1} per axis — each tile reads a 2x2-cell window as 2
+  contiguous row-spans;
+- **global class** (the rest): one bucket read by every tile.
+
+ONE ``lax.sort`` of the 4N slot rows by (bucket, view depth) carries the
+render attribute rows as payloads; per-bucket segments are depth-sorted runs.
+The tile kernel (ops/raster_bucket.py) DMAs, per tile, its 6 spans
+(fine + 2 mid + 2 coarse + global), merges them into depth order in VMEM
+(exact bitonic compare-exchange), and blends front-to-back. With the default
+caps (384, 128, 128, 128) the candidate buffer is exactly 1024 lanes — half
+the sort width (and ~40% fewer live candidates) of the earlier all-window
+layout.
 
 Per-span capacity is static (VMEM sizing); spans that exceed their cap
-truncate their tail (the far half of the second cell first) and raise
-``overflow`` — same contract as the slot ladder (ops/binning.py).
+truncate their depth tail and raise ``overflow`` — same contract as the
+round-1 slot ladder.
 """
 
 from __future__ import annotations
@@ -38,13 +41,16 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from vk_gaussian_splatting_tpu.ops.binning import _key_sort
+from vk_gaussian_splatting_tpu.ops.binning import _key_sort, tile_rect
 from vk_gaussian_splatting_tpu.ops.projection import ProjectedSplats
 
-# class cell sizes (px); radius bound per class = cell/2 (coverage proof above)
+# pyramid cell sizes (px); class radius bound = cell/2 (fine bound = 8 px
+# comes from the 2x2-tile coverage bound of the exact duplication)
 CLASS_CELL_PX = (16, 64, 256)
-CLASS_R_BOUNDS = tuple(c / 2.0 for c in CLASS_CELL_PX)
-NUM_SPANS = 7  # 2 window rows x 3 pyramid classes + the global bucket
+FINE_R_BOUND = 8.0
+CLASS_R_BOUNDS = (FINE_R_BOUND, 32.0, 128.0)
+NUM_SPANS = 6  # fine + 2 mid rows + 2 coarse rows + global
+NUM_SLOTS = 4  # fine-class duplication streams
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,8 +66,8 @@ class BucketGridSpec:
     @staticmethod
     def build(tiles_x: int, tiles_y: int) -> "BucketGridSpec":
         w, h = tiles_x * 16, tiles_y * 16
-        dims = []
-        for cell in CLASS_CELL_PX:
+        dims = [(tiles_x, tiles_y)]  # fine = the tile grid itself (exact)
+        for cell in CLASS_CELL_PX[1:]:
             # shifted cells 0..gx-1 cover centers in [-cell/2, w + cell/2)
             dims.append((-(-w // cell) + 1, -(-h // cell) + 1))
         offs = [0]
@@ -76,58 +82,79 @@ class BucketGridSpec:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class BucketBins:
-    """Depth-sorted per-bucket splat attribute segments."""
+    """Depth-sorted per-bucket splat attribute segments (4N slot rows)."""
 
-    attrs: jax.Array          # (16, N_pad) rows in (bucket, depth) order
+    attrs: jax.Array          # (R, 4N_pad) rows in (bucket, depth) order
     bucket_starts: jax.Array  # (num_buckets + 1,) i32 segment starts
-    num_valid: jax.Array      # () i32 live splats
+    num_valid: jax.Array      # () i32 live slot rows
     overflow: jax.Array       # () bool — some tile window exceeds its cap
 
 
 def assign_buckets(proj: ProjectedSplats, spec: BucketGridSpec) -> jax.Array:
-    """(N,) i32 linear bucket id per splat (invalid -> trailing sentinel).
+    """(4, N) i32 slot-stream bucket ids (sentinel = unused slot).
 
-    Centers may sit off-screen by up to their radius (< cell/2); the shifted
-    grids cover [-cell/2, W + cell/2) so no clamping distortion occurs."""
+    Fine splats occupy up to 4 slots — one per covered tile (their rect spans
+    at most 2x2 tiles since r < 8). Mid/coarse/global splats occupy slot 0
+    with their shifted-grid cell; the shifted grids cover centers in
+    [-cell/2, W + cell/2) so no clamping distortion occurs."""
+    sentinel = spec.num_buckets - 1
     r = proj.radius.max(axis=1)
     x, y = proj.xy[:, 0], proj.xy[:, 1]
-    bucket = jnp.full(r.shape, spec.offsets[3], jnp.int32)  # global class
-    for c in range(2, -1, -1):
+    valid = proj.valid & (r > 0)
+
+    # fine: exact covered-tile rectangle [x0,x1) x [y0,y1), <= 2x2
+    x0, y0, x1, y1 = tile_rect(proj.xy, proj.radius, 16,
+                               spec.tiles_x, spec.tiles_y)
+    fine = valid & (r < FINE_R_BOUND) & (x1 > x0) & (y1 > y0)
+
+    # slot 0 for non-fine classes: shifted-grid cell, coarsest first
+    b0 = jnp.full(r.shape, spec.offsets[3], jnp.int32)  # global class
+    for c in (2, 1):
         gx, gy = spec.dims[c]
         cell = CLASS_CELL_PX[c]
         jx = jnp.clip(jnp.floor((x + cell / 2) / cell).astype(jnp.int32),
                       0, gx - 1)
         jy = jnp.clip(jnp.floor((y + cell / 2) / cell).astype(jnp.int32),
                       0, gy - 1)
-        bucket = jnp.where(r < CLASS_R_BOUNDS[c],
-                           spec.offsets[c] + jy * gx + jx, bucket)
-    return jnp.where(proj.valid & (r > 0), bucket, spec.num_buckets - 1)
+        b0 = jnp.where(r < CLASS_R_BOUNDS[c],
+                       spec.offsets[c] + jy * gx + jx, b0)
+
+    def fine_tile(tx, ty, use):
+        ok = fine & use & (tx < x1) & (ty < y1)
+        return jnp.where(ok, ty * spec.tiles_x + tx, sentinel)
+
+    ones = jnp.ones_like(x0, dtype=bool)
+    slots = jnp.stack([
+        jnp.where(fine, fine_tile(x0, y0, ones), jnp.where(valid, b0,
+                                                           sentinel)),
+        fine_tile(jnp.minimum(x0 + 1, x1 - 1), y0, x1 > x0 + 1),
+        fine_tile(x0, jnp.minimum(y0 + 1, y1 - 1), y1 > y0 + 1),
+        fine_tile(jnp.minimum(x0 + 1, x1 - 1), jnp.minimum(y0 + 1, y1 - 1),
+                  (x1 > x0 + 1) & (y1 > y0 + 1)),
+    ], axis=0)
+    return slots
 
 
 def window_span_table(spec: BucketGridSpec) -> jax.Array:
-    """(T, 7, 2) i32 (start_bucket, end_bucket) window spans per tile.
+    """(T, 6, 2) i32 (start_bucket, end_bucket) window spans per tile.
 
-    Spans 0-1: fine rows, 2-3: mid rows, 4-5: coarse rows, 6: global. Each
-    window row = 2 adjacent cells of the shifted grid = one contiguous bucket
-    range. Static per image size. Rows falling outside a grid produce empty
-    spans (start == end)."""
+    Span 0: the tile's own fine bucket; 1-2: mid window rows; 3-4: coarse
+    window rows; 5: global. Each window row = 2 adjacent shifted cells = one
+    contiguous bucket range. Static per image size."""
     t = jnp.arange(spec.tiles_x * spec.tiles_y, dtype=jnp.int32)
     tx = t % spec.tiles_x
     ty = t // spec.tiles_x
-    cols = []
-    for c in range(3):
+    cols = [jnp.stack([t, t + 1], axis=-1)]  # fine: bucket t exactly
+    for c in (1, 2):
         gx, gy = spec.dims[c]
-        cell_tiles = CLASS_CELL_PX[c] // 16
         jx = tx * 16 // CLASS_CELL_PX[c]
         jy = ty * 16 // CLASS_CELL_PX[c]
-        del cell_tiles
         for dy in (0, 1):
             row = jy + dy
             ok = row < gy
             base = spec.offsets[c] + jnp.clip(row, 0, gy - 1) * gx
             s = base + jnp.minimum(jx, gx - 1)
-            e = base + jnp.minimum(jx + 2, gx)
-            e = jnp.where(ok, e, s)
+            e = jnp.where(ok, base + jnp.minimum(jx + 2, gx), s)
             cols.append(jnp.stack([s, e], axis=-1))
     g = jnp.full((t.shape[0], 2), spec.offsets[3], jnp.int32)
     g = g.at[:, 1].add(1)
@@ -136,9 +163,14 @@ def window_span_table(spec: BucketGridSpec) -> jax.Array:
 
 
 def span_lengths(bucket_starts: jax.Array, spec: BucketGridSpec) -> jax.Array:
-    """(T, 7) i32 candidate count per window span."""
+    """(T, 6) i32 candidate count per window span."""
     spans = window_span_table(spec)
     return bucket_starts[spans[:, :, 1]] - bucket_starts[spans[:, :, 0]]
+
+
+def cap_vector(caps: tuple) -> jnp.ndarray:
+    return jnp.asarray([caps[0]] + [caps[1]] * 2 + [caps[2]] * 2 + [caps[3]],
+                       jnp.int32)
 
 
 def window_overflow(bucket_starts: jax.Array, spec: BucketGridSpec,
@@ -152,31 +184,32 @@ def window_overflow(bucket_starts: jax.Array, spec: BucketGridSpec,
     spans = window_span_table(spec)
     starts = bucket_starts[spans[:, :, 0]]
     lens = bucket_starts[spans[:, :, 1]] - starts
-    cap_vec = jnp.asarray([caps[0]] * 2 + [caps[1]] * 2 + [caps[2]] * 2
-                          + [caps[3]], jnp.int32)
-    return jnp.any(lens + starts % 128 > cap_vec[None, :])
+    return jnp.any(lens + starts % 128 > cap_vector(caps)[None, :])
 
 
 def _bucket_impl(proj, attr_rows, *, spec: BucketGridSpec, caps: tuple,
                  depth_override=None, pad_rows_to: int = 16):
     n = proj.xy.shape[0]
     r = attr_rows.shape[0]
-    bucket = assign_buckets(proj, spec)
+    slots = assign_buckets(proj, spec)                       # (4, N)
     depth = proj.depth if depth_override is None else depth_override
-    dkey = jnp.where(bucket < spec.num_buckets - 1, depth, jnp.inf)
+    bucket = slots.reshape(-1)                               # (4N,)
+    dkey = jnp.where(bucket < spec.num_buckets - 1,
+                     jnp.tile(depth, NUM_SLOTS), jnp.inf)
+    rows4 = tuple(jnp.tile(row, NUM_SLOTS) for row in attr_rows)
 
-    (b_s, _), rows_s = _key_sort((bucket, dkey), tuple(attr_rows),
-                                 is_stable=False)
+    (b_s, _), rows_s = _key_sort((bucket, dkey), rows4, is_stable=False)
 
-    # trailing DMA-overrun pad: spans clamp their start to N_pad - cap, so a
-    # cap-length copy never reads past the array
+    # trailing DMA-overrun pad: spans clamp nothing — the pad guarantees a
+    # cap-length copy from any live start never reads past the array
     pad = max(caps)
-    p_total = -(-(n + pad) // 128) * 128
+    n4 = NUM_SLOTS * n
+    p_total = -(-(n4 + pad) // 128) * 128
     parts = [jnp.stack(rows_s, axis=0)]
     if r < pad_rows_to:
-        parts.append(jnp.zeros((pad_rows_to - r, n), jnp.float32))
+        parts.append(jnp.zeros((pad_rows_to - r, n4), jnp.float32))
     attrs = jnp.concatenate(parts, axis=0)
-    attrs = jnp.pad(attrs, ((0, 0), (0, p_total - n)))
+    attrs = jnp.pad(attrs, ((0, 0), (0, p_total - n4)))
 
     bucket_starts = jnp.searchsorted(
         b_s, jnp.arange(spec.num_buckets + 1, dtype=jnp.int32),
@@ -187,20 +220,24 @@ def _bucket_impl(proj, attr_rows, *, spec: BucketGridSpec, caps: tuple,
                       num_valid=num_valid, overflow=overflow)
 
 
-@partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "caps"))
+@partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "caps", "rows_to"))
 def bucket_splats(proj: ProjectedSplats, attr_rows: jax.Array, *,
                   tiles_x: int, tiles_y: int,
-                  caps: tuple = (512, 256, 128, 128),
-                  depth_override: jax.Array | None = None) -> BucketBins:
+                  caps: tuple = (384, 128, 128, 128),
+                  depth_override: jax.Array | None = None,
+                  rows_to: int = 16) -> BucketBins:
     """Bucket + depth-sort splats for the neighborhood tile kernel.
 
     attr_rows: (R<=16, N) per-splat attribute rows (layouts of
     ops/response.py; the last row is the splat id by convention).
-    caps: per-class window-span capacities (fine-row, mid-row, coarse-row,
-    global) — the kernel's static VMEM budget per span.
+    caps: per-class window-span capacities (fine, mid-row, coarse-row,
+    global) — the kernel's static VMEM budget per span; multiples of 128.
     depth_override: alternative per-splat sort depth (e.g. radial distance
     for the 3DGRT shared-origin order).
+    rows_to: sublane count of the output attrs array — must match
+    raster_bucket.buf_rows(model) (8 for narrow packed layouts halves the
+    kernel's roll/DMA cost).
     """
     spec = BucketGridSpec.build(tiles_x, tiles_y)
     return _bucket_impl(proj, attr_rows, spec=spec, caps=caps,
-                        depth_override=depth_override)
+                        depth_override=depth_override, pad_rows_to=rows_to)

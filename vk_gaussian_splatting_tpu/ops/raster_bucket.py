@@ -3,15 +3,15 @@
 Companion to ops/bucket_grid.py: instead of blending a pre-sorted pair list
 (ops/rasterize_pallas.py), each grid step renders one 16x16 tile end-to-end:
 
-1. DMA the tile's 7 window spans (2 rows x 3 pyramid classes + the global
-   bucket) from the (bucket, depth)-sorted splat array — contiguous slices,
-   128-aligned by rounding the start down and masking the head lanes;
+1. DMA the tile's 6 window spans (its exact fine bucket, 2 mid + 2 coarse
+   window rows, the global bucket) from the (bucket, depth)-sorted splat
+   array — contiguous slices, 128-aligned by rounding the start down and
+   masking the head lanes;
 2. build the sort key row: the model's view depth for live lanes, +inf for
    masked/pad lanes;
-3. EXACT in-VMEM bitonic sort of the whole (16, C) candidate buffer by the
+3. EXACT in-VMEM bitonic sort of the whole (R, C) candidate buffer by the
    key row — compare-exchange moves full f32 rows (pltpu.roll + select), so
-   payloads are bit-exact; stage groups above the live-lane count are skipped
-   (pl.when), so lightly-loaded tiles sort only their pow2 prefix;
+   payloads are bit-exact;
 4. front-to-back chunked blend — the same math as the pair kernel (alpha
    closure per response model, log-shift exclusive transmittance scan, MXU
    color contraction, iso-threshold depth/id picks), with early termination
@@ -22,7 +22,21 @@ N-row splat sort + an in-kernel merge whose cost scales with the per-tile
 candidate count. Replaces the dist+radix-sort+raster chain of the reference
 (gaussian_splatting.cpp:1298-1464) one tile at a time.
 
-Forward-only for now: the differentiable path remains the pair kernel.
+Cost structure (measured v5e, 1080p/1M at the earlier all-window c_sort=2048
+layout): bitonic ~89 ms, blend ~40 ms, DMA/fixed ~29 ms. The sort scales with
+buffer WIDTH x ROWS — and the per-stage cost has a large row-independent
+component (the (1, C) key-compare ops occupy full vregs at 1/8 sublane
+utilization) — so the levers applied here are: the exact-fine layout halves
+the default candidate width to 1024; the packed gs2dp layout (8 rows incl.
+its exact f32 sort-depth row) runs in an 8-sublane buffer (half the roll and
+DMA cost of the 16-row f32 layouts). Output writes are fire-and-forget
+(2-slot rotation), and depth/id picks are skipped once every pixel has
+resolved.
+
+The backward (bucket_render's custom VJP) re-sorts per tile, runs the pair
+kernel's forward-order gradient sweep, bitonic-un-sorts d by the carried
+pre-sort lane index, and RMW-accumulates spans into the global d_attrs;
+an XLA id-sort + slot reduction then restores splat order.
 """
 
 from __future__ import annotations
@@ -37,6 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vk_gaussian_splatting_tpu.ops.bucket_grid import (
     CLASS_CELL_PX,
+    NUM_SPANS,
     BucketBins,
     BucketGridSpec,
 )
@@ -47,6 +62,7 @@ from vk_gaussian_splatting_tpu.ops.rasterize_pallas import (
     RasterStatics,
     _alpha_closure,
     _cumprod_exclusive,
+    _cumsum_inclusive,
     _tile_pixel_coords,
 )
 from vk_gaussian_splatting_tpu.ops.response import (
@@ -55,20 +71,38 @@ from vk_gaussian_splatting_tpu.ops.response import (
     COLOR_FNS,
     DEPTH_FNS,
     DEPTH_ROW,
+    GSP_SORTD,
     GUT_DEPTH,
     ID_ROW,
+    NUM_ROWS,
     USES_PIX_CTX,
 )
 
-NUM_ATTRS = 16
 DEAD_KEY = 1e30  # sentinel depth for masked lanes (sorts last, never picked)
+TPT = 2          # tiles per grid step (compiled): their bitonic stages
+                 # interleave so the VLIW scheduler fills each chain's
+                 # latency bubbles (TPT=4 spills registers and is slower)
+
+
+def _tpt(st) -> int:
+    # interpret mode (CPU tests) gets TPT=1: the interleaved program is 2x
+    # the ops for zero benefit off-chip, and the CPU XLA compiler has
+    # aborted under the cumulative load of the big interpreted kernels
+    return 1 if st.interpret else TPT
 
 # the key row must be exchanged together with the payload, so it lives inside
-# the (16, C) buffer: the zero-pad row 15 for narrow layouts, the f32 depth
-# row for gut3d (16 rows used; overwriting dead lanes' depth is harmless —
-# they can never be picked)
-KEY_ROW = {"gs2d": 15, "gs2d_clip": 15, "gs2dp": 15, "gut3dp": 15,
+# the candidate buffer: the exact f32 depth row where the layout has one
+# (overwriting dead lanes' depth is harmless — they can never be picked),
+# else the zero-pad row 15
+KEY_ROW = {"gs2d": 15, "gs2d_clip": 15, "gs2dp": GSP_SORTD, "gut3dp": 15,
            "tri2d": 15, "gut3d": GUT_DEPTH}
+
+
+def buf_rows(model: str) -> int:
+    """Candidate-buffer sublane count: one (8, 128) tile for narrow layouts
+    (halves every roll/select/DMA), two tiles otherwise."""
+    need = max(NUM_ROWS[model], KEY_ROW[model] + 1)
+    return 8 if need <= 8 else 16
 
 
 def _next_pow2(n: int) -> int:
@@ -81,9 +115,10 @@ def _next_pow2(n: int) -> int:
 def _span_offsets(caps: tuple):
     """Static candidate-buffer layout: span i occupies [off[i], off[i]+cap_i).
 
-    caps = (fine_row, mid_row, coarse_row, global); spans are 2 rows per
-    pyramid class + global."""
-    sizes = [caps[0]] * 2 + [caps[1]] * 2 + [caps[2]] * 2 + [caps[3]]
+    caps = (fine, mid_row, coarse_row, global); spans are [fine, mid x2,
+    coarse x2, global]. Caps must be multiples of 128 (HBM slice tiling)."""
+    assert all(c % 128 == 0 for c in caps), "bucket caps must be x128"
+    sizes = [caps[0]] + [caps[1]] * 2 + [caps[2]] * 2 + [caps[3]]
     offs, o = [], 0
     for s in sizes:
         offs.append(o)
@@ -92,11 +127,15 @@ def _span_offsets(caps: tuple):
 
 
 def _tile_spans(spec: BucketGridSpec, bstarts_ref, tt):
-    """The 7 (start, len) scalar span descriptors of tile tt's windows."""
+    """The 6 (start, len) scalar span descriptors of tile tt's windows:
+    [own fine bucket, mid row 0, mid row 1, coarse row 0, coarse row 1,
+    global]."""
     tx = jax.lax.rem(tt, spec.tiles_x)
     ty = tt // spec.tiles_x
-    spans = []
-    for c in range(3):
+    s0 = bstarts_ref[tt]
+    e0 = bstarts_ref[tt + 1]
+    spans = [(s0, jnp.maximum(e0 - s0, 0))]
+    for c in (1, 2):
         gx, gy = spec.dims[c]
         cell = CLASS_CELL_PX[c]
         jx = (tx * TILE) // cell
@@ -135,10 +174,12 @@ def _bitonic_stage(cand, key_row: int, c_sort: int, k: int, j: int):
 
 
 def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
+    TPT = _tpt(st)  # noqa: N806 — shadows the module constant deliberately
     uses_pix = USES_PIX_CTX[st.model]
     key_row = KEY_ROW[st.model]
     drow = DEPTH_ROW[st.model]
     idrow = ID_ROW[st.model]
+    r_buf = buf_rows(st.model)
     color_fn = COLOR_FNS.get(st.model,
                              lambda blk: blk[ATTR_R:ATTR_B + 1, :])
     depth_fn = DEPTH_FNS.get(st.model, lambda blk: blk[drow:drow + 1, :])
@@ -158,100 +199,124 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
     def kernel(seed_ref, bstarts_ref, attrs_ref, *rest):
         if uses_pix:
             (pixctx_ref, out_ref, cand2, work, acc, t_col, pick_d, pick_id,
-             outbuf, pixraw, pixscr, sems, osem, psem) = rest
+             outbuf2, pixraw, pixscr, sems, osem, psem) = rest
         else:
-            (out_ref, cand2, work, acc, t_col, pick_d, pick_id, outbuf,
+            (out_ref, cand2, work, acc, t_col, pick_d, pick_id, outbuf2,
              sems, osem) = rest
             pixscr = None
         j = pl.program_id(0)
-        n_t = pl.num_programs(0)
+        n_steps = pl.num_programs(0)
+        n_tiles = spec.tiles_x * spec.tiles_y
         slot = jax.lax.rem(j, 2)
-        spans = _tile_spans(spec, bstarts_ref, j)
+        tids = [jnp.minimum(j * TPT + t, n_tiles - 1) for t in range(TPT)]
+        spans_t = [_tile_spans(spec, bstarts_ref, tid) for tid in tids]
 
         @pl.when(j == 0)
         def _warmup():
-            issue_dmas(attrs_ref, cand2.at[0], sems.at[0], spans)
+            for t in range(TPT):
+                issue_dmas(attrs_ref, cand2.at[0, t], sems.at[0, t],
+                           spans_t[t])
 
-        # prefetch the next tile's windows into the other buffer
-        nxt = jnp.minimum(j + 1, n_t - 1)
+        # prefetch the next step's tiles into the other buffer pair
+        nxt = jnp.minimum(j + 1, n_steps - 1)
 
-        @pl.when(j + 1 < n_t)
+        @pl.when(j + 1 < n_steps)
         def _prefetch():
-            issue_dmas(attrs_ref, cand2.at[1 - slot], sems.at[1 - slot],
-                       _tile_spans(spec, bstarts_ref, nxt))
+            for t in range(TPT):
+                tid = jnp.minimum(nxt * TPT + t, n_tiles - 1)
+                issue_dmas(attrs_ref, cand2.at[1 - slot, t],
+                           sems.at[1 - slot, t],
+                           _tile_spans(spec, bstarts_ref, tid))
 
-        for i in range(len(spans)):
-            pltpu.make_async_copy(
-                attrs_ref.at[:, pl.ds(0, sizes[i])],  # shape-only descriptor
-                cand2.at[slot, :, offs[i]:offs[i] + sizes[i]],
-                sems.at[slot, i],
-            ).wait()
+        for t in range(TPT):
+            for i in range(NUM_SPANS):
+                pltpu.make_async_copy(
+                    attrs_ref.at[:, pl.ds(0, sizes[i])],  # shape-only
+                    cand2.at[slot, t, :, offs[i]:offs[i] + sizes[i]],
+                    sems.at[slot, t, i],
+                ).wait()
 
         if uses_pix:
-            pcopy = pltpu.make_async_copy(pixctx_ref.at[j], pixraw, psem)
-            pcopy.start()
+            pcopies = []
+            for t in range(TPT):
+                pc = pltpu.make_async_copy(pixctx_ref.at[tids[t]],
+                                           pixraw.at[t], psem.at[t])
+                pc.start()
+                pcopies.append(pc)
 
-        # compute on a statically-addressed copy (Mosaic vector ops cannot
+        # compute on statically-addressed copies (Mosaic vector ops cannot
         # read-modify-write through a dynamically indexed buffer slot)
-        work[:, :] = cand2[slot]
+        for t in range(TPT):
+            work[t] = cand2[slot, t]
 
-        # ---- key row: live depth, +inf for head-align / tail / pad lanes --
+        # ---- key rows: live depth, +inf for head/tail/pad lanes -----------
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, c_sort), 1)
-        live = jnp.zeros((1, c_sort), jnp.bool_)
-        n_live = jnp.int32(0)
-        for i, (s, ln) in enumerate(spans):
-            head = s - (s // 128) * 128
-            n_eff = jnp.minimum(ln, sizes[i] - head)
-            lo = offs[i] + head
-            live = live | ((lane >= lo) & (lane < lo + n_eff))
-            n_live = n_live + n_eff
-        depth_vals = depth_fn(work[:, :]).reshape(1, c_sort)
-        work[key_row:key_row + 1, :] = jnp.where(live, depth_vals, DEAD_KEY)
+        n_lives = []
+        for t in range(TPT):
+            live = jnp.zeros((1, c_sort), jnp.bool_)
+            n_live = jnp.int32(0)
+            for i, (s, ln) in enumerate(spans_t[t]):
+                head = s - (s // 128) * 128
+                n_eff = jnp.minimum(ln, sizes[i] - head)
+                lo = offs[i] + head
+                live = live | ((lane >= lo) & (lane < lo + n_eff))
+                n_live = n_live + n_eff
+            depth_vals = depth_fn(work[t]).reshape(1, c_sort)
+            work[t, key_row:key_row + 1, :] = jnp.where(live, depth_vals,
+                                                        DEAD_KEY)
+            n_lives.append(n_live)
 
         # ---- exact bitonic merge by depth (full-row compare-exchange) -----
-        # The full network always runs: live lanes sit scattered across the
-        # static span segments before sorting, so no pow2-prefix stage skip
-        # is valid. (Cost scales with c_sort; size bucket_caps to the scene.)
+        # The TPT tiles' sorts interleave stage-by-stage: each stage is one
+        # serial dependency chain (roll -> compare -> select), so a lone sort
+        # is VLIW-latency-bound (~75 ns/stage floor measured); adjacent
+        # independent chains let the static scheduler fill the bubbles.
         k = 2
         while k <= c_sort:
             jj = k // 2
             while jj >= 1:
-                _bitonic_stage(work, key_row, c_sort, k, jj)
+                for t in range(TPT):
+                    _bitonic_stage(work.at[t], key_row, c_sort, k, jj)
                 jj //= 2
             k *= 2
 
-        # ---- front-to-back chunked blend (pair-kernel math) ---------------
-        acc[:, :] = jnp.zeros((PIX, 3), jnp.float32)
-        t_col[:, :] = jnp.ones((PIX, 1), jnp.float32)
-        pick_d[:, :] = jnp.full((PIX, 4), 1e30, jnp.float32)
-        pick_id[:, :] = jnp.full((PIX, 1), -1.0, jnp.float32)
-        px, py = _tile_pixel_coords(j, st.tiles_x)
+        # ---- front-to-back chunked blend (pair-kernel math), interleaved --
+        for t in range(TPT):
+            acc[t] = jnp.zeros((PIX, 3), jnp.float32)
+            t_col[t] = jnp.ones((PIX, 1), jnp.float32)
+            pick_d[t] = jnp.full((PIX, 4), 1e30, jnp.float32)
+            pick_id[t] = jnp.full((PIX, 1), -1.0, jnp.float32)
+        pxy = [_tile_pixel_coords(tids[t], st.tiles_x) for t in range(TPT)]
         if uses_pix:
-            pcopy.wait()
-            pixscr[:, :] = jnp.transpose(pixraw[:, :])
-        pix = pixscr[:, :] if uses_pix else None
+            for t in range(TPT):
+                pcopies[t].wait()
+                pixscr[t] = jnp.transpose(pixraw[t])
 
         c = st.chunk
-        for ci in range(n_chunks):
-            @pl.when((ci * c < n_live)
-                     & (jnp.max(t_col[:, :]) > st.min_transmittance))
-            def _(ci=ci):
-                block = work[:, ci * c:(ci + 1) * c]
-                key = block[key_row:key_row + 1, :]
-                lane_live = key < (DEAD_KEY * 0.5)
-                rng_key = (seed_ref[0] + j * n_chunks + ci
-                           if st.stochastic else None)
-                alpha_fn = _alpha_closure(st, pix, px, py, 0, c, rng_key)
-                alpha = jnp.where(lane_live, alpha_fn(block), 0.0)
-                q = 1.0 - alpha
-                excl = _cumprod_exclusive(q)
-                tc = t_col[:, :]
-                w = alpha * excl * tc
-                cols = color_fn(block)
-                acc[:, :] = acc[:, :] + jax.lax.dot_general(
-                    w, cols, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
 
+        def blend_chunk(t, ci):
+            pix = pixscr[t] if uses_pix else None
+            px, py = pxy[t]
+            block = work[t, :, ci * c:(ci + 1) * c]
+            key = block[key_row:key_row + 1, :]
+            lane_live = key < (DEAD_KEY * 0.5)
+            rng_key = (seed_ref[0] + (j * TPT + t) * n_chunks + ci
+                       if st.stochastic else None)
+            alpha_fn = _alpha_closure(st, pix, px, py, 0, c, rng_key)
+            alpha = jnp.where(lane_live, alpha_fn(block), 0.0)
+            q = 1.0 - alpha
+            excl = _cumprod_exclusive(q)
+            tc = t_col[t]
+            w = alpha * excl * tc
+            cols = color_fn(block)
+            acc[t] = acc[t] + jax.lax.dot_general(
+                w, cols, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            # depth/id picks skip entirely once every pixel has resolved
+            # (usually after the first chunk or two)
+            @pl.when(jnp.max(pick_d[t]) > 1e29)
+            def _picks():
                 t_after = tc * excl * q
                 lane_c = jax.lax.broadcasted_iota(
                     jnp.int32, (1, c), 1) * jnp.ones((PIX, 1), jnp.int32)
@@ -266,30 +331,66 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                     d_sel = jnp.sum(jnp.where(sel, depth_row, 0.0),
                                     axis=1, keepdims=True)
                     hit = first < (1 << 20)
-                    unpicked = pick_d[:, i:i + 1] > 1e29
+                    unpicked = pick_d[t, :, i:i + 1] > 1e29
                     upd = hit & unpicked
                     if i == 0 and not st.multi_iso:
                         id_sel = jnp.sum(
                             jnp.where(sel, block[idrow:idrow + 1, :], 0.0),
                             axis=1, keepdims=True)
-                        pick_id[:, :] = jnp.where(upd, id_sel, pick_id[:, :])
-                    pick_d[:, i:i + 1] = jnp.where(upd, d_sel,
-                                                   pick_d[:, i:i + 1])
-                t_col[:, :] = tc * excl[:, c - 1:c] * q[:, c - 1:c]
+                        pick_id[t] = jnp.where(upd, id_sel, pick_id[t])
+                    pick_d[t, :, i:i + 1] = jnp.where(upd, d_sel,
+                                                      pick_d[t, :, i:i + 1])
+            t_col[t] = tc * excl[:, c - 1:c] * q[:, c - 1:c]
 
-        pd = jnp.where(pick_d[:, :] > 1e29, 0.0, pick_d[:, :])
-        if st.multi_iso:
-            aux = jnp.transpose(pd)
-        else:
-            aux = jnp.concatenate(
-                [jnp.transpose(pd[:, 0:1]), jnp.transpose(pick_id[:, :]),
-                 jnp.zeros((OUT_COLS - 6, PIX), jnp.float32)], axis=0)
-        outbuf[:, :] = jnp.concatenate(
-            [jnp.transpose(acc[:, :]), jnp.transpose(t_col[:, :]), aux],
-            axis=0)
-        ocopy = pltpu.make_async_copy(outbuf, out_ref.at[j], osem)
-        ocopy.start()
-        ocopy.wait()
+        for ci in range(n_chunks):
+            for t in range(TPT):
+                @pl.when((ci * c < n_lives[t])
+                         & (jnp.max(t_col[t]) > st.min_transmittance))
+                def _(t=t, ci=ci):
+                    blend_chunk(t, ci)
+
+        # fire-and-forget output: rotate two buffer sets, wait before reuse
+        @pl.when(j >= 2)
+        def _reclaim():
+            for t in range(TPT):
+                pltpu.make_async_copy(
+                    outbuf2.at[slot, t],
+                    out_ref.at[jnp.maximum((j - 2) * TPT + t, 0)],
+                    osem.at[slot, t]).wait()
+
+        for t in range(TPT):
+            pd = jnp.where(pick_d[t] > 1e29, 0.0, pick_d[t])
+            if st.multi_iso:
+                aux = jnp.transpose(pd)
+            else:
+                aux = jnp.concatenate(
+                    [jnp.transpose(pd[:, 0:1]), jnp.transpose(pick_id[t]),
+                     jnp.zeros((OUT_COLS - 6, PIX), jnp.float32)], axis=0)
+            outbuf2[slot, t] = jnp.concatenate(
+                [jnp.transpose(acc[t]), jnp.transpose(t_col[t]), aux],
+                axis=0)
+
+            # on the final step with T not a multiple of TPT, the clamped
+            # duplicate tiles compute identical content, so concurrent
+            # same-destination copies write the same bytes — benign
+            pltpu.make_async_copy(outbuf2.at[slot, t],
+                                  out_ref.at[tids[t]],
+                                  osem.at[slot, t]).start()
+
+        @pl.when(j == n_steps - 1)
+        def _drain():
+            for t in range(TPT):
+                pltpu.make_async_copy(outbuf2.at[slot, t],
+                                      out_ref.at[tids[t]],
+                                      osem.at[slot, t]).wait()
+
+            @pl.when(n_steps >= 2)
+            def _():
+                for t in range(TPT):
+                    pltpu.make_async_copy(
+                        outbuf2.at[1 - slot, t],
+                        out_ref.at[jnp.maximum((j - 1) * TPT + t, 0)],
+                        osem.at[1 - slot, t]).wait()
 
     return kernel
 
@@ -297,8 +398,11 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
 @functools.lru_cache(maxsize=64)
 def _bucket_call(st: RasterStatics, caps: tuple, n_pad: int):
     spec = BucketGridSpec.build(st.tiles_x, st.tiles_y)
+    TPT = _tpt(st)  # noqa: N806
     num_tiles = st.tiles_x * st.tiles_y
+    n_steps = -(-num_tiles // TPT)
     uses_pix = USES_PIX_CTX[st.model]
+    r_buf = buf_rows(st.model)
     _offs, _sizes, c_total = _span_offsets(caps)
     c_sort = _next_pow2(c_total)
     in_specs = [
@@ -307,31 +411,31 @@ def _bucket_call(st: RasterStatics, caps: tuple, n_pad: int):
         pl.BlockSpec(memory_space=pltpu.HBM),    # attrs
     ]
     scratch = [
-        pltpu.VMEM((2, NUM_ATTRS, c_sort), jnp.float32),  # cand x2
-        pltpu.VMEM((NUM_ATTRS, c_sort), jnp.float32),     # work
-        pltpu.VMEM((PIX, 3), jnp.float32),                # acc
-        pltpu.VMEM((PIX, 1), jnp.float32),                # t_col
-        pltpu.VMEM((PIX, 4), jnp.float32),                # pick_d
-        pltpu.VMEM((PIX, 1), jnp.float32),                # pick_id
-        pltpu.VMEM((OUT_COLS, PIX), jnp.float32),         # outbuf
+        pltpu.VMEM((2, TPT, r_buf, c_sort), jnp.float32),  # cand x2 x TPT
+        pltpu.VMEM((TPT, r_buf, c_sort), jnp.float32),     # work
+        pltpu.VMEM((TPT, PIX, 3), jnp.float32),            # acc
+        pltpu.VMEM((TPT, PIX, 1), jnp.float32),            # t_col
+        pltpu.VMEM((TPT, PIX, 4), jnp.float32),            # pick_d
+        pltpu.VMEM((TPT, PIX, 1), jnp.float32),            # pick_id
+        pltpu.VMEM((2, TPT, OUT_COLS, PIX), jnp.float32),  # outbuf
     ]
     if uses_pix:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
         scratch += [
-            pltpu.VMEM((OUT_COLS, PIX), jnp.float32),     # pixraw
-            pltpu.VMEM((PIX, OUT_COLS), jnp.float32),     # pixscr
-            pltpu.SemaphoreType.DMA((2, 7)),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((TPT, OUT_COLS, PIX), jnp.float32),  # pixraw
+            pltpu.VMEM((TPT, PIX, OUT_COLS), jnp.float32),  # pixscr
+            pltpu.SemaphoreType.DMA((2, TPT, NUM_SPANS)),
+            pltpu.SemaphoreType.DMA((2, TPT)),
+            pltpu.SemaphoreType.DMA((TPT,)),
         ]
     else:
         scratch += [
-            pltpu.SemaphoreType.DMA((2, 7)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2, TPT, NUM_SPANS)),
+            pltpu.SemaphoreType.DMA((2, TPT)),
         ]
     return pl.pallas_call(
         _make_kernel(st, caps, spec),
-        grid=(num_tiles,),
+        grid=(n_steps,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=scratch,
@@ -342,12 +446,236 @@ def _bucket_call(st: RasterStatics, caps: tuple, n_pad: int):
     )
 
 
+def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
+    """Backward: per tile, re-DMA + re-sort the candidates (carrying their
+    pre-sort lane index in the id row), run the pair-kernel's forward-order
+    gradient sweep into a d buffer, bitonic-UN-sort d by the carried lane
+    index (restoring span layout), and RMW-accumulate each span back into
+    the global d_attrs array. Neighboring tiles' windows overlap in source
+    columns; the sequential grid + additive RMW make that safe (dead lanes
+    carry zero d)."""
+    uses_pix = USES_PIX_CTX[st.model]
+    key_row = KEY_ROW[st.model]
+    drow = DEPTH_ROW[st.model]
+    idrow = ID_ROW[st.model]
+    r_buf = buf_rows(st.model)
+    color_rows = (ATTR_R, ATTR_B)
+    depth_fn = DEPTH_FNS.get(st.model, lambda blk: blk[drow:drow + 1, :])
+    offs, sizes, c_total = _span_offsets(caps)
+    c_sort = _next_pow2(c_total)
+    n_chunks = c_sort // st.chunk
+    c = st.chunk
+
+    def kernel(seed_ref, bstarts_ref, attrs_ref, ctx_hbm_ref, zeros_ref,
+               *rest):
+        del zeros_ref  # aliased with the d_attrs output
+        if uses_pix:
+            (pixctx_ref, dattrs_ref, work, dwork, rmw, t_col, s_run, ctx,
+             pixraw, pixscr, sems, dsem, csem, psem) = rest
+        else:
+            (dattrs_ref, work, dwork, rmw, t_col, s_run, ctx, sems,
+             dsem, csem) = rest
+            pixscr = None
+        j = pl.program_id(0)
+        spans = _tile_spans(spec, bstarts_ref, j)
+
+        for i, (s, _ln) in enumerate(spans):
+            a = pl.multiple_of((s // 128) * 128, 128)
+            pltpu.make_async_copy(
+                attrs_ref.at[:, pl.ds(a, sizes[i])],
+                work.at[:, offs[i]:offs[i] + sizes[i]],
+                sems.at[i],
+            ).start()
+        ccopy = pltpu.make_async_copy(ctx_hbm_ref.at[j], ctx, csem)
+        ccopy.start()
+        if uses_pix:
+            pcopy = pltpu.make_async_copy(pixctx_ref.at[j], pixraw, psem)
+            pcopy.start()
+        for i in range(len(spans)):
+            pltpu.make_async_copy(
+                attrs_ref.at[:, pl.ds(0, sizes[i])],
+                work.at[:, offs[i]:offs[i] + sizes[i]],
+                sems.at[i],
+            ).wait()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, c_sort), 1)
+        live = jnp.zeros((1, c_sort), jnp.bool_)
+        n_live = jnp.int32(0)
+        for i, (s, ln) in enumerate(spans):
+            head = s - (s // 128) * 128
+            n_eff = jnp.minimum(ln, sizes[i] - head)
+            lo = offs[i] + head
+            live = live | ((lane >= lo) & (lane < lo + n_eff))
+            n_live = n_live + n_eff
+        depth_vals = depth_fn(work[:, :]).reshape(1, c_sort)
+        work[key_row:key_row + 1, :] = jnp.where(live, depth_vals, DEAD_KEY)
+        # the id row's value is not used by the sweep; carry the pre-sort
+        # lane index there so d can be un-sorted back to span layout
+        work[idrow:idrow + 1, :] = lane.astype(jnp.float32)
+
+        k = 2
+        while k <= c_sort:
+            jj = k // 2
+            while jj >= 1:
+                _bitonic_stage(work, key_row, c_sort, k, jj)
+                jj //= 2
+            k *= 2
+
+        dwork[:, :] = jnp.zeros((r_buf, c_sort), jnp.float32)
+        t_col[:, :] = jnp.ones((PIX, 1), jnp.float32)
+        s_run[:, :] = jnp.zeros((PIX, 1), jnp.float32)
+        px, py = _tile_pixel_coords(j, st.tiles_x)
+        ccopy.wait()
+        if uses_pix:
+            pcopy.wait()
+            pixscr[:, :] = jnp.transpose(pixraw[:, :])
+        pix = pixscr[:, :] if uses_pix else None
+
+        for ci in range(n_chunks):
+            @pl.when((ci * c < n_live)
+                     & (jnp.max(t_col[:, :]) > st.min_transmittance))
+            def _(ci=ci):
+                block = work[:, ci * c:(ci + 1) * c]
+                key = block[key_row:key_row + 1, :]
+                lane_live = key < (DEAD_KEY * 0.5)
+                rng_key = (seed_ref[0] + j * n_chunks + ci
+                           if st.stochastic else None)
+                raw_alpha = _alpha_closure(st, pix, px, py, 0, c, rng_key)
+
+                def alpha_f(blk):
+                    return jnp.where(lane_live, raw_alpha(blk), 0.0)
+
+                alpha, alpha_vjp = jax.vjp(alpha_f, block)
+                q = 1.0 - alpha
+                excl = _cumprod_exclusive(q)
+                tc = t_col[:, :]
+                t_k = excl * tc
+                w = alpha * t_k
+                g_rgb_t = ctx[0:3, :]                          # (3, 256)
+                s_total = jnp.transpose(ctx[3:4, :])
+                gt_tn = jnp.transpose(ctx[4:5, :])
+                r0, r1 = color_rows
+                cols = block[r0:r1 + 1, :]
+                # exact VPU broadcast FMAs (MXU f32 is bf16-grade in-kernel)
+                cg = (jnp.transpose(g_rgb_t[0:1, :]) * cols[0:1, :]
+                      + jnp.transpose(g_rgb_t[1:2, :]) * cols[1:2, :]
+                      + jnp.transpose(g_rgb_t[2:3, :]) * cols[2:3, :])
+                wcg = w * cg
+                s_incl = s_run[:, :] + _cumsum_inclusive(wcg)
+                suffix = s_total - s_incl
+                qsafe = jnp.maximum(q, 1.0 - st.alpha_clamp)
+                dalpha = t_k * cg - (suffix + gt_tn) / qsafe
+
+                (d_block,) = alpha_vjp(dalpha)
+                dcol = jnp.concatenate(
+                    [jnp.sum(jnp.transpose(g_rgb_t[ch:ch + 1, :]) * w,
+                             axis=0, keepdims=True) for ch in range(3)],
+                    axis=0)                                     # (3, C)
+                d_full = jnp.concatenate(
+                    [d_block[:r0, :], d_block[r0:r1 + 1, :] + dcol,
+                     d_block[r1 + 1:, :]], axis=0)
+                dwork[:, ci * c:(ci + 1) * c] = (
+                    dwork[:, ci * c:(ci + 1) * c] + d_full)
+
+                t_col[:, :] = tc * excl[:, c - 1:c] * q[:, c - 1:c]
+                s_run[:, :] = s_run[:, :] + jnp.sum(wcg, axis=1,
+                                                    keepdims=True)
+
+        # un-sort d back to span layout by the carried pre-sort lane index
+        # (a full permutation: dead lanes carried their own index and zero d)
+        dwork[idrow:idrow + 1, :] = work[idrow:idrow + 1, :]
+        k = 2
+        while k <= c_sort:
+            jj = k // 2
+            while jj >= 1:
+                _bitonic_stage(dwork, idrow, c_sort, k, jj)
+                jj //= 2
+            k *= 2
+        # the sort-key/id rows carry bookkeeping values, not gradients
+        dwork[idrow:idrow + 1, :] = jnp.zeros((1, c_sort), jnp.float32)
+        dwork[key_row:key_row + 1, :] = jnp.zeros((1, c_sort), jnp.float32)
+        if drow < r_buf and drow != key_row:
+            # depth cotangents are dropped (aux picks are not differentiated)
+            dwork[drow:drow + 1, :] = jnp.zeros((1, c_sort), jnp.float32)
+
+        # span-by-span additive RMW into the global d_attrs (sequential, so
+        # overlapping 128-aligned windows accumulate correctly)
+        for i, (s, _ln) in enumerate(spans):
+            a = pl.multiple_of((s // 128) * 128, 128)
+            rslice = rmw.at[:, 0:sizes[i]]
+            rd = pltpu.make_async_copy(
+                dattrs_ref.at[:, pl.ds(a, sizes[i])], rslice, dsem)
+            rd.start()
+            rd.wait()
+            rmw[:, 0:sizes[i]] = (rmw[:, 0:sizes[i]]
+                                  + dwork[:, offs[i]:offs[i] + sizes[i]])
+            wr = pltpu.make_async_copy(
+                rslice, dattrs_ref.at[:, pl.ds(a, sizes[i])], dsem)
+            wr.start()
+            wr.wait()
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _bucket_bwd_call(st: RasterStatics, caps: tuple, n_pad: int):
+    spec = BucketGridSpec.build(st.tiles_x, st.tiles_y)
+    num_tiles = st.tiles_x * st.tiles_y
+    uses_pix = USES_PIX_CTX[st.model]
+    r_buf = buf_rows(st.model)
+    _offs, sizes, c_total = _span_offsets(caps)
+    c_sort = _next_pow2(c_total)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # bucket starts
+        pl.BlockSpec(memory_space=pltpu.HBM),    # attrs
+        pl.BlockSpec(memory_space=pltpu.HBM),    # bwd ctx (T, 8, 256)
+        pl.BlockSpec(memory_space=pltpu.HBM),    # zeros, aliased to d_attrs
+    ]
+    scratch = [
+        pltpu.VMEM((r_buf, c_sort), jnp.float32),         # work
+        pltpu.VMEM((r_buf, c_sort), jnp.float32),         # dwork
+        pltpu.VMEM((r_buf, max(sizes)), jnp.float32),     # rmw buffer
+        pltpu.VMEM((PIX, 1), jnp.float32),                # t_col
+        pltpu.VMEM((PIX, 1), jnp.float32),                # s_run
+        pltpu.VMEM((OUT_COLS, PIX), jnp.float32),         # ctx tile
+    ]
+    if uses_pix:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        scratch += [
+            pltpu.VMEM((OUT_COLS, PIX), jnp.float32),     # pixraw
+            pltpu.VMEM((PIX, OUT_COLS), jnp.float32),     # pixscr
+            pltpu.SemaphoreType.DMA((NUM_SPANS,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+    else:
+        scratch += [
+            pltpu.SemaphoreType.DMA((NUM_SPANS,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+    return pl.pallas_call(
+        _make_bwd_kernel(st, caps, spec),
+        grid=(num_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=scratch,
+        out_shape=jax.ShapeDtypeStruct((r_buf, n_pad), jnp.float32),
+        input_output_aliases={4: 0},
+        interpret=st.interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+
+
 @partial(jax.jit, static_argnames=("st", "caps"))
 def rasterize_buckets(bins: BucketBins, pix_ctx, seed,
                       st: RasterStatics, caps: tuple) -> jax.Array:
     """Blend bucketed splats into per-tile (8, 256) outputs.
 
-    bins: BucketBins from ops/bucket_grid.bucket_splats (same tiles_x/y).
+    bins: BucketBins from ops/bucket_grid.bucket_splats (same tiles_x/y and
+    a row count matching buf_rows(st.model)).
     pix_ctx: (T, 8, 256) per-tile pixel context (gut3d/clip) or None.
     seed: (1,) i32 stochastic seed or None.
     Returns (T, 8, 256): rows 0-2 rgb, 3 transmittance, 4-7 aux. Every tile
@@ -356,7 +684,101 @@ def rasterize_buckets(bins: BucketBins, pix_ctx, seed,
     """
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
+    assert bins.attrs.shape[0] == buf_rows(st.model), (
+        bins.attrs.shape, st.model)
     args = [seed, bins.bucket_starts, bins.attrs]
     if USES_PIX_CTX[st.model]:
         args.append(pix_ctx)
     return _bucket_call(st, caps, bins.attrs.shape[1])(*args)
+
+
+def _zero_cotangent(tree):
+    import numpy as np
+
+    def z(x):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.zeros_like(x)
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return jax.tree.map(z, tree)
+
+
+def _bins_for(proj, attr_rows, depth_override, st, caps):
+    from vk_gaussian_splatting_tpu.ops.bucket_grid import _bucket_impl
+    spec = BucketGridSpec.build(st.tiles_x, st.tiles_y)
+    return _bucket_impl(proj, attr_rows, spec=spec, caps=caps,
+                        depth_override=depth_override,
+                        pad_rows_to=buf_rows(st.model))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def bucket_render(proj, attr_rows, depth_override, pix_ctx, seed, statics):
+    """Bucket binning + tile kernel with a kernel-level backward.
+
+    statics = (RasterStatics, caps). Returns (tiles_out, num_valid,
+    overflow). Gradients flow to attr_rows only (bucket/tile assignment and
+    depth ordering are discrete, exactly like the pair path's slot binning —
+    ops/binning.py _bin_slots)."""
+    st, caps = statics
+    bins = _bins_for(proj, attr_rows, depth_override, st, caps)
+    out = rasterize_buckets(bins, pix_ctx, seed, st, caps)
+    return out, bins.num_valid, bins.overflow
+
+
+def _br_fwd(proj, attr_rows, depth_override, pix_ctx, seed, statics):
+    st, caps = statics
+    bins = _bins_for(proj, attr_rows, depth_override, st, caps)
+    out = rasterize_buckets(bins, pix_ctx, seed, st, caps)
+    return ((out, bins.num_valid, bins.overflow),
+            (proj, attr_rows, depth_override, pix_ctx, seed, bins, out))
+
+
+def _br_bwd(statics, res, g):
+    import numpy as np
+
+    st, caps = statics
+    proj, attr_rows, depth_override, pix_ctx, seed, bins, out = res
+    g_out = g[0]
+    idrow = ID_ROW[st.model]
+    r, n = attr_rows.shape
+
+    # per-tile backward context from the saved forward output:
+    #   S_total = rgb_out . g_rgb ; gt_tn = g_T * T_final
+    g_rgb = g_out[:, 0:3, :]
+    s_total = jnp.sum(out[:, 0:3, :] * g_rgb, axis=1, keepdims=True)
+    gt_tn = g_out[:, 3:4, :] * out[:, 3:4, :]
+    pad = jnp.zeros((g_out.shape[0], OUT_COLS - 5, PIX), jnp.float32)
+    ctx = jnp.concatenate([g_rgb, s_total, gt_tn, pad], axis=1)
+
+    seed_a = jnp.zeros((1,), jnp.int32) if seed is None else seed
+    zeros = jnp.zeros_like(bins.attrs)
+    args = [seed_a, bins.bucket_starts, bins.attrs, ctx, zeros]
+    if USES_PIX_CTX[st.model]:
+        args.append(pix_ctx)
+    d_bucket = _bucket_bwd_call(st, caps, bins.attrs.shape[1])(*args)
+
+    # un-sort to splat order by the id row carried in the sorted attrs.
+    # Every splat appears exactly NUM_SLOTS times among the first 4N columns
+    # (the fine duplication streams carry the id even in sentinel slots), so
+    # sorting by id groups each splat's slot gradients into NUM_SLOTS
+    # adjacent columns — a reshape-sum reduces them. Trailing DMA-pad
+    # columns sort behind the 2^24 id bound.
+    from vk_gaussian_splatting_tpu.ops.binning import _key_sort
+    from vk_gaussian_splatting_tpu.ops.bucket_grid import NUM_SLOTS
+    n_pad = bins.attrs.shape[1]
+    n4 = NUM_SLOTS * n
+    col = jnp.arange(n_pad, dtype=jnp.int32)
+    idkey = jnp.where(col < n4, bins.attrs[idrow].astype(jnp.float32),
+                      jnp.float32(1 << 25))
+    _, unsorted = _key_sort((idkey,), tuple(d_bucket[i] for i in range(r)))
+    d_rows = jnp.stack(unsorted, axis=0)[:, :n4].reshape(
+        r, n, NUM_SLOTS).sum(axis=2)
+
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    d_depth = (None if depth_override is None
+               else jnp.zeros_like(depth_override))
+    d_pix = None if pix_ctx is None else jnp.zeros_like(pix_ctx)
+    d_seed = None if seed is None else f0(seed_a)
+    return (_zero_cotangent(proj), d_rows, d_depth, d_pix, d_seed)
+
+
+bucket_render.defvjp(_br_fwd, _br_bwd)

@@ -86,7 +86,7 @@ def _splat_rows(prepared: PreparedSplats, colors, opacities, sort_key):
 
 
 def _chunk_alpha_t(block, o, d, kernel_degree, alpha_min, alpha_clamp,
-                   splat_scale):
+                   splat_scale, min_resp0=0.0):
     """Per (ray, splat-in-chunk) response: alpha (R,C) and world-units hit
     parameter t (R,C). o/d: (R,3) origins and unit directions.
 
@@ -127,11 +127,22 @@ def _chunk_alpha_t(block, o, d, kernel_degree, alpha_min, alpha_clamp,
 
     resp = kernel_response(dist_sq, kernel_degree)
     a_raw = op * resp
-    mask = (a_raw > alpha_min) & (resp > KERNEL_MIN_RESPONSE)
+    mask = (a_raw > alpha_min) \
+        & (resp > max(KERNEL_MIN_RESPONSE, min_resp0))
     return jnp.where(mask, jnp.minimum(a_raw, alpha_clamp), 0.0), t_hit
 
 
-@partial(jax.jit, static_argnames=("cfg", "chunk", "ray_block", "stochastic"))
+def _deg0_min_response(rc) -> float:
+    """Degree-0 support cull from the proxy scale (splat_set_vk.cpp
+    kernelScale): the linear kernel 1 - 0.3296*sqrt(d) is culled beyond
+    sqrt(d) = kernel_scale_deg0."""
+    if rc.kernel_degree == 0:
+        return max(0.0, 1.0 - 0.329630334487 * rc.kernel_scale_deg0)
+    return 0.0
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk", "ray_block", "stochastic",
+                                   "order"))
 def trace_splats(
     prepared: PreparedSplats,
     origins: jax.Array,        # (R, 3)
@@ -141,18 +152,36 @@ def trace_splats(
     cfg: RenderConfig,
     chunk: int = 512,
     ray_block: int = 1024,
-    stochastic: bool = False,
+    stochastic: bool | str = False,
     seed: int | jax.Array = 0,
+    order: str | None = None,
 ) -> TraceResult:
     """Integrate splats along arbitrary rays front-to-back within per-ray
     [t_min, t_max] windows. Radial pre-sort + chunked scan (module docstring).
 
-    stochastic: the pass-stochastic Monte-Carlo estimator
-    (RTX_TRACE_STRATEGY_PASS_STOCHASTIC, rgen:765-800): accept the
-    integrated result with p = 1-T and importance-correct by 1/p (then the
-    ray terminates, T=0); otherwise discard (T=1). Unbiased — average over
-    temporal samples to converge.
+    order (default cfg.rt.order):
+      "radial"   — shared-origin radial order (exact for clustered origins);
+      "windowed" — additionally marches cfg.rt.max_passes per-ray t-slabs,
+                   reproducing the reference's per-ray-exact tMin advance
+                   (rgen:676-762): across slabs the order is exact per ray,
+                   within a slab radial (error -> 0 as max_passes grows);
+      "auto"     — lax.cond picks windowed when the batch's origin spread
+                   exceeds 10% of the median splat distance (the regime where
+                   radial order degrades on wide-baseline batches).
+
+    stochastic:
+      "pass" (or True) — the pass-stochastic Monte-Carlo estimator
+        (rgen:765-800): accept the integrated result with p = 1-T and
+        importance-correct by 1/p (then the ray terminates); unbiased.
+      "anyhit" — the single-trace stochastic any-hit estimator
+        (rgen:821-961, rahit:94-150): each hit is accepted with probability
+        alpha and becomes opaque, so the first accepted hit per ray wins —
+        expressed here by binarizing alpha before the FTB composition.
     """
+    if order is None:
+        order = cfg.rt.order
+    if stochastic is True:
+        stochastic = "pass"
     n = prepared.num_splats
     r_total = origins.shape[0]
     centroid = origins.mean(axis=0)
@@ -179,17 +208,27 @@ def trace_splats(
 
     rc = cfg.rt
     iso = cfg.raster.depth_iso_threshold
+    min_resp0 = _deg0_min_response(rc)
+    anyhit = stochastic == "anyhit"
 
-    def one_block(args):
-        o, d, tmin, tmax = args
+    def sweep(o, d, lo, hi, carry, pass_id):
+        """One radial-order chunk scan restricted to t in [lo, hi)."""
 
-        def body(carry, blk):
-            rad, trans, iso_d = carry
+        def body(c, xs):
+            rad, trans, iso_d = c
+            blk, ci = xs
             alpha, t_hit = _chunk_alpha_t(
                 blk, o, d, rc.kernel_degree, rc.alpha_min, rc.alpha_clamp,
-                cfg.splat_scale)
+                cfg.splat_scale, min_resp0)
             alpha = jnp.where(
-                (t_hit > tmin[:, None]) & (t_hit < tmax[:, None]), alpha, 0.0)
+                (t_hit > lo[:, None]) & (t_hit < hi[:, None]), alpha, 0.0)
+            if anyhit:
+                key = jax.random.fold_in(
+                    jax.random.key(0xA247),
+                    jnp.asarray(seed, jnp.int32) * 131071
+                    + pass_id * 677 + ci)
+                u = jax.random.uniform(key, alpha.shape)
+                alpha = jnp.where((u < alpha) & (alpha > 0.0), 1.0, 0.0)
             q = 1.0 - alpha
             t_excl = jnp.concatenate(
                 [jnp.ones_like(q[:, :1]), jnp.cumprod(q, axis=1)[:, :-1]],
@@ -208,15 +247,53 @@ def trace_splats(
             iso_d = jnp.where(any_c & (iso_d == 0.0), picked, iso_d)
             return (rad, t_run, iso_d), None
 
+        ci = jnp.arange(chunks.shape[0], dtype=jnp.int32)
+        return jax.lax.scan(body, carry, (chunks, ci))[0]
+
+    def radial_block(args):
+        o, d, tmin, tmax = args
         init = (jnp.zeros((rb, 3), jnp.float32), jnp.ones((rb,), jnp.float32),
                 jnp.zeros((rb,), jnp.float32))
-        (rad, trans, iso_d), _ = jax.lax.scan(body, init, chunks)
-        return rad, trans, iso_d
+        return sweep(o, d, tmin, tmax, init, jnp.int32(0))
 
-    rad, trans, iso_d = jax.lax.map(one_block, (o_b, d_b, tmin_b, tmax_b))
+    def windowed_block(args):
+        o, d, tmin, tmax = args
+        # per-ray t-slabs over the finite part of the window; the far slab
+        # is open-ended so unbounded rays still integrate everything
+        far = jnp.where(jnp.isfinite(tmax), tmax,
+                        jnp.float32(2.0) * jnp.max(sort_key) + 1.0)
+        dt = jnp.maximum(far - tmin, 1e-6) / (rc.max_passes - 1)
+
+        def pass_body(carry, p):
+            lo = tmin + dt * p.astype(jnp.float32)
+            hi = jnp.where(p == rc.max_passes - 1, tmax,
+                           tmin + dt * (p + 1).astype(jnp.float32))
+            lo = jnp.where(p == 0, tmin, lo)
+            return sweep(o, d, jnp.minimum(lo, tmax), jnp.minimum(hi, tmax),
+                         carry, p), None
+
+        init = (jnp.zeros((rb, 3), jnp.float32), jnp.ones((rb,), jnp.float32),
+                jnp.zeros((rb,), jnp.float32))
+        carry, _ = jax.lax.scan(pass_body, init,
+                                jnp.arange(rc.max_passes, dtype=jnp.int32))
+        return carry
+
+    if order == "radial":
+        block_fn = radial_block
+    elif order == "windowed":
+        block_fn = windowed_block
+    else:  # auto: runtime pick by origin spread vs scene distance
+        spread = jnp.mean(jnp.linalg.norm(origins - centroid, axis=-1))
+        scale = jnp.median(sort_key) + 1e-12
+
+        def block_fn(args, _s=spread, _m=scale):
+            return jax.lax.cond(_s > 0.1 * _m, windowed_block, radial_block,
+                                args)
+
+    rad, trans, iso_d = jax.lax.map(block_fn, (o_b, d_b, tmin_b, tmax_b))
     radiance = rad.reshape(r_pad, 3)[:r_total]
     trans = trans.reshape(r_pad)[:r_total]
-    if stochastic:
+    if stochastic == "pass":
         key = jax.random.fold_in(jax.random.key(0x57AC),
                                  jnp.asarray(seed, jnp.int32))
         u = jax.random.uniform(key, (r_total,))

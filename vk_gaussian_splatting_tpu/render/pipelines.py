@@ -151,6 +151,12 @@ def raster_statics(cfg: RenderConfig, interpret: bool | None = None) -> RasterSt
     from vk_gaussian_splatting_tpu.config import StochasticMode
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    # ANYHIT's binary accept with first-accepted-hit termination
+    # (rgen:821-961) is the SPLAT estimator in a sorted FTB loop: the first
+    # accepted splat saturates transmittance, so later accepts contribute
+    # nothing — the single-trace variant is a GPU traversal optimization,
+    # not a different estimator.
+    stoch = cfg.stochastic in (StochasticMode.SPLAT, StochasticMode.ANYHIT)
     return RasterStatics(
         tiles_x=tiles_x(cfg),
         tiles_y=tiles_y(cfg),
@@ -159,9 +165,21 @@ def raster_statics(cfg: RenderConfig, interpret: bool | None = None) -> RasterSt
         alpha_clamp=cfg.raster.alpha_clamp,
         qmax=cfg.raster.alpha_cull_qmax,
         depth_iso=cfg.raster.depth_iso_threshold,
-        stochastic=cfg.stochastic == StochasticMode.SPLAT,
+        stochastic=stoch,
         interpret=interpret,
     )
+
+
+def _gut_statics(st: RasterStatics, cfg: RenderConfig, packed: bool,
+                 **kw) -> RasterStatics:
+    """gut3d kernel statics: response model, generalized-Gaussian degree, and
+    the degree-0 support cull from rt.kernel_scale_deg0."""
+    from vk_gaussian_splatting_tpu.ops.raytrace import _deg0_min_response
+    return dataclasses.replace(
+        st, model="gut3dp" if packed else "gut3d",
+        kernel_degree=cfg.rt.kernel_degree,
+        kernel_min_response=max(st.kernel_min_response,
+                                _deg0_min_response(cfg.rt)), **kw)
 
 
 def _render_bucket(proj, rows, cfg: RenderConfig, st, *,
@@ -169,19 +187,17 @@ def _render_bucket(proj, rows, cfg: RenderConfig, st, *,
     """Forward render via the bucket-neighborhood kernel (ops/raster_bucket):
     one N-row (bucket, depth) sort + per-tile VMEM merge — the fast path
     replacing pair expansion + the P-row pair sort."""
-    from vk_gaussian_splatting_tpu.ops.bucket_grid import bucket_splats
-    from vk_gaussian_splatting_tpu.ops.raster_bucket import rasterize_buckets
+    from vk_gaussian_splatting_tpu.ops.raster_bucket import bucket_render
 
     caps = tuple(cfg.raster.bucket_caps)
-    bins = bucket_splats(proj, rows, tiles_x=st.tiles_x, tiles_y=st.tiles_y,
-                         caps=caps, depth_override=depth_override)
-    out = rasterize_buckets(bins, pix_ctx, seed, st, caps)
+    out, num_valid, overflow = bucket_render(
+        proj, rows, depth_override, pix_ctx, seed, (st, caps))
     img, trans, depth, splat_id = assemble_image(
         out, None, st.tiles_x, st.tiles_y, cfg.width, cfg.height,
         cfg.background, with_aux=True)
     return RenderOutput(image=img, transmittance=trans, depth=depth,
                         splat_id=splat_id,
-                        num_pairs=bins.num_valid, overflow=bins.overflow)
+                        num_pairs=num_valid, overflow=overflow)
 
 
 def bin_for_cfg(proj, rows, cfg: RenderConfig, max_pairs: int,
@@ -322,9 +338,7 @@ def render_3dgut(
     packed = cfg.raster.pair_format == "packed"
     rows = (gut_attr_rows_packed if packed else gut_attr_rows)(
         prepared, proj, cfg)
-    st = dataclasses.replace(
-        raster_statics(cfg, interpret), model="gut3dp" if packed else "gut3d",
-        kernel_degree=cfg.rt.kernel_degree)
+    st = _gut_statics(raster_statics(cfg, interpret), cfg, packed)
     if cfg.raster.method == "bucket":
         return _blend_samples_bucket(proj, rows, cam, cfg, st)
     bins = bin_for_cfg(proj, rows, cfg, max_pairs)
@@ -356,11 +370,9 @@ def render_3dgrt(
     proj = ut_project_splats(prepared, cam, cfg)
     radial = jnp.linalg.norm(prepared.means - cam.position, axis=-1)
     packed = cfg.raster.pair_format == "packed"
-    st = dataclasses.replace(
-        raster_statics(cfg, interpret), model="gut3dp" if packed else "gut3d",
-        kernel_degree=cfg.rt.kernel_degree,
-        alpha_clamp=cfg.rt.alpha_clamp,
-        min_transmittance=cfg.rt.min_transmittance)
+    st = _gut_statics(raster_statics(cfg, interpret), cfg, packed,
+                      alpha_clamp=cfg.rt.alpha_clamp,
+                      min_transmittance=cfg.rt.min_transmittance)
     if cfg.raster.method == "bucket":
         # the bucket kernel orders by the depth row: carry radial distance
         # there so the blend matches the per-ray-t order (rgen:615-818)
@@ -498,8 +510,7 @@ def render_hybrid(
     bins = bin_for_cfg(proj, rows, cfg, max_pairs)
     st = raster_statics(cfg, interpret)
     if use_gut:
-        st = dataclasses.replace(st, model="gut3d",
-                                 kernel_degree=cfg.rt.kernel_degree)
+        st = _gut_statics(st, cfg, packed=False)
         pix_ctx = build_tile_rays(cam, cfg, sample_id=0)
     else:
         pix_ctx = None
