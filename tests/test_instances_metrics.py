@@ -125,7 +125,9 @@ def test_metrics_basics():
     f0 = float(flip_mean(a, a))
     assert f0 < 1e-4
     f1 = float(flip_mean(a, 1.0 - a))
-    assert f1 > 0.2
+    # the shader's Hunt-adapted YCxCz scale (F_L(1.0) ~ 0.175) puts the
+    # inverted-noise error around 0.08 — "barely perceptible"+ territory
+    assert f1 > 0.05
     # monotone in perturbation size
     f_small = float(flip_mean(a, jnp.clip(a + 0.02, 0, 1)))
     f_big = float(flip_mean(a, jnp.clip(a + 0.3, 0, 1)))
@@ -194,3 +196,72 @@ def test_nonuniform_instance_scene_renders():
     out = render_3dgs(prepared, cam, cfg, max_pairs=1 << 16)
     img = np.asarray(out.image)
     assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_flip_reference_mode_matches_shader_oracle():
+    """flip(mode=reference) must match a direct per-pixel transliteration of
+    image_compare_metric.comp.slang's Reference path (5-channel Gaussian
+    features + CSF-weighted YCxCz color diff, q=3 Minkowski pooling)."""
+    import math
+
+    rng = np.random.default_rng(3)
+    h = w = 24
+    a = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.12, a.shape), 0, 1).astype(np.float32)
+
+    def srgb2lin(c):
+        return np.where(c <= 0.04045, c / 12.92,
+                        ((c + 0.055) / 1.055) ** 2.4)
+
+    M = np.array([[0.31670331, 0.70299344, -0.01969366],
+                  [0.10938715, 0.87060437, 0.01990658],
+                  [0.01840087, 0.10476914, 0.87470614]], np.float64)
+
+    def to_ycxcz(img):
+        lms = srgb2lin(img.astype(np.float64)) @ M.T
+        kc = 5.0 ** (1 / 3)
+        fl = 0.2 * kc * (1 - math.exp(-0.42 * kc))
+        hunt = lms * fl
+        return np.stack([hunt[..., 1], hunt[..., 0] - hunt[..., 1],
+                         hunt[..., 1] - hunt[..., 2]], -1)
+
+    def csf(f):
+        return math.exp(-0.5 * f) / math.sqrt(1 + (f / 4.0) ** 2)
+
+    lumw = np.array([0.2126, 0.7152, 0.0722])
+    ppd = 67.0
+
+    def features(img):
+        lum = img.astype(np.float64) @ lumw
+        out = np.zeros((h, w, 5))
+        for i, f in enumerate((0.5, 1.0, 2.0, 4.0, 8.0)):
+            sigma = max(ppd / (f * 6.28), 0.5)
+            radius = int(np.ceil(3 * sigma))
+            for y in range(h):
+                for x in range(w):
+                    if (y < radius or x < radius or y >= h - radius
+                            or x >= w - radius):
+                        continue  # shader border early-out -> feature 0
+                    acc = wsum = 0.0
+                    for dy in range(-radius, radius + 1):
+                        wy = math.exp(-dy * dy / (2 * sigma * sigma))
+                        for dx in range(-radius, radius + 1):
+                            wgt = wy * math.exp(-dx * dx
+                                                / (2 * sigma * sigma))
+                            acc += lum[y + dy, x + dx] * wgt
+                            wsum += wgt
+                    out[y, x, i] = abs(lum[y, x] - acc / wsum) * csf(f)
+        return out
+
+    ya, yb = to_ycxcz(a), to_ycxcz(b)
+    d = np.abs(ya - yb)
+    color = d[..., 0] * csf(1.0) + (d[..., 1] + d[..., 2]) * csf(1.0) * 0.4
+    feat = np.abs(features(a) - features(b)).sum(-1)
+    total = np.clip(color + feat, 0, 1)
+    oracle = (np.mean(total ** 3)) ** (1 / 3)
+
+    ours = float(flip_mean(jnp.asarray(a), jnp.asarray(b)))
+    assert abs(ours - oracle) < 1e-3, (ours, oracle)
+    # per-pixel map too
+    ours_map = np.asarray(flip(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(ours_map, total, atol=2e-3)

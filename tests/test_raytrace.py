@@ -290,3 +290,146 @@ def test_stochastic_pass_unbiased():
     sig = max(float(ref.max()), 0.1)
     assert np.abs(mean - ref).mean() < 0.03 * sig
     assert np.abs(mean - ref).max() < 0.25 * sig
+
+
+def _per_ray_exact_oracle(splats, origins, dirs, cfg):
+    """Numpy oracle: for each ray, compose ALL splats in increasing t_hit
+    order (the reference's per-ray front-to-back guarantee, rgen:615-818)."""
+    from vk_gaussian_splatting_tpu.ops.raytrace import (
+        splat_view_colors,
+        _chunk_alpha_t,
+        _splat_rows,
+    )
+    centroid = origins.mean(axis=0)
+    colors, opac = splat_view_colors(splats, centroid, cfg)
+    key = jnp.linalg.norm(splats.means - centroid, axis=-1)
+    rows = _splat_rows(splats, colors, opac, key)
+    alpha, t_hit = _chunk_alpha_t(
+        rows, origins, dirs, cfg.rt.kernel_degree, cfg.rt.alpha_min,
+        cfg.rt.alpha_clamp, cfg.splat_scale)
+    alpha = np.asarray(alpha)
+    t_hit = np.asarray(t_hit)
+    cols = np.asarray(rows[10:13]).T                       # (N, 3)
+    r = origins.shape[0]
+    rad = np.zeros((r, 3), np.float32)
+    trans = np.ones((r,), np.float32)
+    for i in range(r):
+        order = np.argsort(t_hit[i], kind="stable")
+        a = alpha[i, order]
+        c = cols[order]
+        t = 1.0
+        for k in range(len(order)):
+            if a[k] <= 0:
+                continue
+            rad[i] += a[k] * t * c[k]
+            t *= 1.0 - a[k]
+            if t < 1e-4:
+                break
+        trans[i] = t
+    return rad, trans
+
+
+def _psnr(a, b):
+    mse = float(np.mean((a - b) ** 2))
+    peak = max(float(np.abs(b).max()), 1e-6)
+    return 10 * np.log10(peak ** 2 / max(mse, 1e-12))
+
+
+def test_windowed_order_fixes_wide_baseline():
+    """Adversarial wide-baseline batch (VERDICT round-1 #5): origins on two
+    opposite sides of the scene with opposed directions make the shared-
+    origin radial order wrong for half the rays; the windowed per-ray t-slab
+    march (rt.max_passes slabs, the reference's tMin advance) must recover
+    the per-ray-exact result."""
+    cfg = RenderConfig(width=8, height=8, sh_degree=0)
+    cfg = cfg.replace(rt=dataclasses.replace(cfg.rt, max_passes=64))
+    # opaque-ish splats along a line so composition order matters strongly
+    n = 64
+    key = jax.random.key(7)
+    means = jnp.stack([jnp.linspace(-4.0, 4.0, n),
+                       jax.random.uniform(key, (n,)) * 0.2,
+                       jnp.zeros((n,))], axis=1)
+    from vk_gaussian_splatting_tpu.scene.splat_set import SplatSet
+    base = random_splats(jax.random.key(8), n, sh_degree=0)
+    splats = dataclasses.replace(
+        base, means=np.asarray(means),
+        opacities=np.full((n,), 4.0, np.float32),       # sigmoid -> ~0.98
+        scales=np.full((n, 3), np.log(0.25), np.float32)).prepare()
+
+    r = 32
+    left_o = jnp.stack([jnp.full((r // 2,), -8.0),
+                        jnp.linspace(-0.1, 0.3, r // 2),
+                        jnp.zeros((r // 2,))], axis=1)
+    right_o = jnp.stack([jnp.full((r // 2,), 8.0),
+                         jnp.linspace(-0.1, 0.3, r // 2),
+                         jnp.zeros((r // 2,))], axis=1)
+    origins = jnp.concatenate([left_o, right_o])
+    dirs = jnp.concatenate([
+        jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (r // 2, 1)),
+        jnp.tile(jnp.asarray([[-1.0, 0.0, 0.0]]), (r // 2, 1))])
+
+    rad_o, trans_o = _per_ray_exact_oracle(splats, origins, dirs, cfg)
+
+    radial = trace_splats(splats, origins, dirs, jnp.zeros(r),
+                          jnp.full(r, jnp.inf), cfg, chunk=64, ray_block=32,
+                          order="radial")
+    windowed = trace_splats(splats, origins, dirs, jnp.zeros(r),
+                            jnp.full(r, jnp.inf), cfg, chunk=64,
+                            ray_block=32, order="windowed")
+    psnr_radial = _psnr(np.asarray(radial.radiance), rad_o)
+    psnr_windowed = _psnr(np.asarray(windowed.radiance), rad_o)
+    assert psnr_radial < 30.0, psnr_radial       # radial demonstrably breaks
+    assert psnr_windowed > 50.0, psnr_windowed   # windowed recovers exact
+    np.testing.assert_allclose(np.asarray(windowed.transmittance), trans_o,
+                               atol=1e-3)
+
+
+def test_auto_order_picks_windowed_for_wide_baseline():
+    """order='auto' must route the wide-baseline batch through the windowed
+    march (origin spread >> median splat distance)."""
+    cfg = RenderConfig(width=8, height=8, sh_degree=0)
+    cfg = cfg.replace(rt=dataclasses.replace(cfg.rt, max_passes=64))
+    n = 48
+    base = random_splats(jax.random.key(9), n, sh_degree=0)
+    means = np.stack([np.linspace(-4.0, 4.0, n), np.zeros(n), np.zeros(n)],
+                     axis=1).astype(np.float32)
+    splats = dataclasses.replace(
+        base, means=means, opacities=np.full((n,), 4.0, np.float32),
+        scales=np.full((n, 3), np.log(0.25), np.float32)).prepare()
+    r = 16
+    origins = jnp.concatenate([
+        jnp.tile(jnp.asarray([[-8.0, 0.05, 0.0]]), (r // 2, 1)),
+        jnp.tile(jnp.asarray([[8.0, 0.05, 0.0]]), (r // 2, 1))])
+    dirs = jnp.concatenate([
+        jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (r // 2, 1)),
+        jnp.tile(jnp.asarray([[-1.0, 0.0, 0.0]]), (r // 2, 1))])
+    auto = trace_splats(splats, origins, dirs, jnp.zeros(r),
+                        jnp.full(r, jnp.inf), cfg, chunk=64, ray_block=16,
+                        order="auto")
+    windowed = trace_splats(splats, origins, dirs, jnp.zeros(r),
+                            jnp.full(r, jnp.inf), cfg, chunk=64,
+                            ray_block=16, order="windowed")
+    np.testing.assert_allclose(np.asarray(auto.radiance),
+                               np.asarray(windowed.radiance), atol=1e-6)
+
+
+def test_anyhit_estimator_unbiased():
+    """The single-trace stochastic any-hit estimator (rgen:821-961) must be
+    unbiased: averaging samples converges to the deterministic blend."""
+    cfg = RenderConfig(width=8, height=8, sh_degree=0)
+    splats = random_splats(jax.random.key(11), 120, sh_degree=0).prepare()
+    r = 32
+    orig, d = _ray_batch(jax.random.key(12), r, spread=0.05, cone=0.3)
+    det = trace_splats(splats, orig, d, jnp.zeros(r), jnp.full(r, jnp.inf),
+                       cfg, chunk=64, ray_block=32)
+    acc = np.zeros((r, 3), np.float64)
+    samples = 96
+    for s in range(samples):
+        st = trace_splats(splats, orig, d, jnp.zeros(r),
+                          jnp.full(r, jnp.inf), cfg, chunk=64, ray_block=32,
+                          stochastic="anyhit", seed=s)
+        acc += np.asarray(st.radiance)
+    mean = acc / samples
+    scale = np.abs(np.asarray(det.radiance)).max() + 1e-9
+    err = np.abs(mean - np.asarray(det.radiance)).max() / scale
+    assert err < 0.15, err  # MC noise at 96 samples

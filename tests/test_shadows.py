@@ -75,3 +75,50 @@ def test_hybrid_gut_dispatch():
     cam = look_at([0, 0, -9], [0, 0, 0], [0, 1, 0], 64, 48)
     out = render(splats.prepare(), cam, cfg, max_pairs=32768)
     assert np.isfinite(np.asarray(out.image)).all()
+
+
+def test_ray_shadows_continuous_and_consistent():
+    """Per-ray shadows (rt.shadows='ray', the reference's per-pixel shadow
+    trace rgen:1261-1464) must produce CONTINUOUS transmittance through a
+    soft blocker where the deep-shadow-map staircase quantizes to <=5 levels,
+    while agreeing with the map on the hard in/out classification."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from vk_gaussian_splatting_tpu.render.shadows import (
+        make_ray_shadow_fn,
+        make_shadow_fn,
+    )
+    from vk_gaussian_splatting_tpu.scene.lights import LightType, make_light
+
+    cfg = RenderConfig(width=32, height=32, sh_degree=0)
+    # one wide soft blocker splat between the light and a receiving line
+    base = random_splats(jax.random.key(21), 1, sh_degree=0)
+    splats = dataclasses.replace(
+        base, means=np.asarray([[0.0, 2.0, 0.0]], np.float32),
+        opacities=np.full((1,), 1.5, np.float32),
+        scales=np.log(np.full((1, 3), 0.8, np.float32))).prepare()
+    light = make_light(LightType.POINT, position=[0.0, 6.0, 0.0],
+                       intensity=3.0)
+
+    # receiving points on a line under the blocker: x in [-4, 4]
+    xs = np.linspace(-4, 4, 41, dtype=np.float32)
+    pts = jnp.asarray(np.stack([xs, np.zeros_like(xs), np.zeros_like(xs)],
+                               axis=1))
+
+    ray_fn = make_ray_shadow_fn(splats, cfg)
+    t_ray = np.asarray(ray_fn(pts, light))
+    map_fn = make_shadow_fn(splats, (light,), cfg, res=128)
+    t_map = np.asarray(map_fn(pts, light))
+
+    # center occluded, edges lit — both paths agree on that
+    assert t_ray[20] < 0.35 and t_map[20] < 0.8, (t_ray[20], t_map[20])
+    assert t_ray[0] > 0.9 and t_map[0] > 0.9, (t_ray[0], t_map[0])
+    # the ray path resolves a smooth penumbra; the map is a <=5-level
+    # staircase by construction
+    assert len(np.unique(np.round(t_ray, 3))) > 8
+    assert len(np.unique(np.round(t_map, 3))) <= 5
+    # monotone falloff from the lit edge into the umbra
+    half = t_ray[:21]
+    assert np.all(np.diff(half) < 1e-3)

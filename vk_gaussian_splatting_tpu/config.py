@@ -119,6 +119,10 @@ class RasterConfig:
     # differentiable; "packed" = bf16-pair + fixed-point-xy words, ~half the
     # sort payloads — forward/rendering only (bit packing has no gradient)
     pair_format: str = "f32"
+    # mesh compositing pass: "smooth" = per-vertex Gouraud shading +
+    # perspective-correct interpolated depth (threedmesh_raster.vert.slang);
+    # "flat" = per-face color + centroid depth (round-1 behavior)
+    mesh_shading: str = "smooth"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -141,6 +145,11 @@ class RtConfig:
     # the default min-response cutoff)
     kernel_scale_deg0: float = 3.0
     max_bounces: int = 3          # wavefront bounce cap (FrameInfo.rtxMaxBounces, shaderio.h:273)
+    # splat shadow transmittance in the hybrid/deferred path: "map" = deep
+    # shadow maps (fast, 5-level staircase, render/shadows.py); "ray" =
+    # per-shade-point ray trace toward each light (exact and continuous —
+    # the reference's per-pixel shadow rays, rgen:1261-1464)
+    shadows: str = "map"
     # NOTE: the reference's k_buffer (PARTICLES_SPP sorted hits per pass,
     # gaussian_splatting.cpp:1693) and use_aabbs (AS proxy shape) have no
     # TPU analog — there is no BVH payload or acceleration structure; the

@@ -100,7 +100,16 @@ def assign_buckets(proj: ProjectedSplats, spec: BucketGridSpec) -> jax.Array:
     sentinel = spec.num_buckets - 1
     r = proj.radius.max(axis=1)
     x, y = proj.xy[:, 0], proj.xy[:, 1]
-    valid = proj.valid & (r > 0)
+    # extent rect must intersect the screen: the projection cull keeps a
+    # frustum-dilation margin of off-screen centers (dist.comp.slang:64-90),
+    # and without this check every such mid/coarse splat clamps into an EDGE
+    # cell — measured 15K-candidate edge spans at 6.2M splats
+    w_px = spec.tiles_x * 16
+    h_px = spec.tiles_y * 16
+    rx, ry = proj.radius[:, 0], proj.radius[:, 1]
+    onscreen = ((x + rx > 0) & (x - rx < w_px)
+                & (y + ry > 0) & (y - ry < h_px))
+    valid = proj.valid & (r > 0) & onscreen
 
     # fine: exact covered-tile rectangle [x0,x1) x [y0,y1), <= 2x2
     x0, y0, x1, y1 = tile_rect(proj.xy, proj.radius, 16,

@@ -3,15 +3,23 @@
 Re-implements the reference's GPU metric passes (S15,
 image_compare_metric.comp.slang; ImageCompare H15) as vectorized jnp:
 
-- MSE / PSNR over linear RGB.
-- FLIP in both reference flavours:
-  - "approx": single-scale Sobel-based edge/point feature difference combined
-    with a YCxCz color difference (the shader's fast path).
-  - "full": the reference Gaussian-pyramid FLIP is approximated here with the
-    same spatial prefiltering applied via separable Gaussian convolution at
-    the viewing-condition-derived sigma; identical perceptibility calibration
-    (<0.03 imperceptible, 0.03-0.10 barely, >0.10 visible —
-    image_compare_metric.comp.slang:60-66).
+- MSE / PSNR over RGB.
+- FLIP in both reference modes, behaviorally matched to the shader:
+  - "reference" (image_compare_metric.comp.slang:186-305, 483-543): the
+    5-frequency-channel Gaussian feature pyramid (0.5/1/2/4/8 cpd DoG-style
+    |center - blur| responses, sigma = ppd/(2*pi*f) clamped to 0.5 px, zero
+    within the kernel radius of the border) with Barten-style CSF weighting,
+    plus the CSF-weighted YCxCz color difference, Minkowski-pooled at q=3;
+  - "approx" (:369-479): the single-scale Sobel fast path with the shader's
+    empirical 3.83 feature calibration.
+  Color pipeline (color.h.slang:44-142): sRGB -> linear -> Hunt-Pointer-
+  Estevez LMS -> Hunt luminance adaptation -> YCxCz opponent space.
+  Identical perceptibility calibration: <0.03 imperceptible, 0.03-0.10
+  barely, >0.10 clearly visible (:60-66).
+
+Note the reference's "reference" mode is its own real-time formulation, not
+the published Andersson et al. ldrflip pipeline — parity here targets the
+shader the reference actually ships.
 
 All differentiable; usable as training losses too.
 """
@@ -20,6 +28,17 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+FLIP_FREQUENCIES = (0.5, 1.0, 2.0, 4.0, 8.0)
+FLIP_APPROX_FEATURE_WEIGHT = 3.83   # shader calibration constant (:391)
+_LUM = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
+
+# Hunt-Pointer-Estevez RGB->LMS (color.h.slang:90-94)
+_RGB_TO_LMS = jnp.asarray([
+    [0.31670331, 0.70299344, -0.01969366],
+    [0.10938715, 0.87060437, 0.01990658],
+    [0.01840087, 0.10476914, 0.87470614],
+], jnp.float32)
 
 
 def mse(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -31,125 +50,133 @@ def psnr(a: jax.Array, b: jax.Array, peak: float = 1.0) -> jax.Array:
     return 10.0 * jnp.log10(peak * peak / jnp.maximum(m, 1e-12))
 
 
-# ---------------------------------------------------------------------------
-# FLIP (Andersson et al. 2020), following the reference shader's structure.
-# ---------------------------------------------------------------------------
-
-_SRGB2XYZ = jnp.asarray([
-    [0.4124564, 0.3575761, 0.1804375],
-    [0.2126729, 0.7151522, 0.0721750],
-    [0.0193339, 0.1191920, 0.9503041],
-], jnp.float32)
+def _srgb_to_linear(c: jax.Array) -> jax.Array:
+    return jnp.where(c <= 0.04045, c / 12.92,
+                     ((c + 0.055) / 1.055) ** 2.4)
 
 
-def _linear_to_ycxcz(rgb: jax.Array) -> jax.Array:
-    """Linear RGB -> YCxCz (the FLIP opponent space)."""
-    xyz = rgb @ _SRGB2XYZ.T
-    ref = jnp.asarray([0.950428545, 1.0, 1.088900371], jnp.float32)
-    xyz = xyz / ref
-    y = 116.0 * xyz[..., 1] - 16.0
-    cx = 500.0 * (xyz[..., 0] - xyz[..., 1])
-    cz = 200.0 * (xyz[..., 1] - xyz[..., 2])
+def _srgb_to_flip_space(srgb: jax.Array,
+                        adaptation_luminance: float = 1.0) -> jax.Array:
+    """sRGB -> YCxCz through linear/LMS/Hunt (color.h.slang:135-142)."""
+    lin = _srgb_to_linear(srgb)
+    lms = lin @ _RGB_TO_LMS.T
+    k = 5.0 * adaptation_luminance
+    k_cbrt = k ** (1.0 / 3.0)
+    f_l = 0.2 * k_cbrt * (1.0 - jnp.exp(-0.42 * k_cbrt))
+    hunt = lms * f_l
+    y = hunt[..., 1]
+    cx = hunt[..., 0] - hunt[..., 1]
+    cz = hunt[..., 1] - hunt[..., 2]
     return jnp.stack([y, cx, cz], -1)
 
 
-def _hunt(y: jax.Array, c: jax.Array) -> jax.Array:
-    return 0.01 * y * c
+def _csf_luminance(freq_cpd: float) -> float:
+    """Barten-style CSF (image_compare_metric.comp.slang:196-208)."""
+    import math
+    s = 1.0 / math.sqrt(1.0 + (freq_cpd / 4.0) ** 2)
+    return s * math.exp(-0.5 * freq_cpd)
 
 
-def _hyab(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Hunt-adjusted L*a*b*-ish difference used by FLIP."""
-    ya, cxa, cza = a[..., 0], a[..., 1], a[..., 2]
-    yb, cxb, czb = b[..., 0], b[..., 1], b[..., 2]
-    dl = jnp.abs(ya - yb)
-    dab = jnp.sqrt((_hunt(ya, cxa) - _hunt(yb, cxb)) ** 2
-                   + (_hunt(ya, cza) - _hunt(yb, czb)) ** 2)
-    return dl + dab
+def _csf_chrominance(freq_cpd: float) -> float:
+    return _csf_luminance(freq_cpd) * 0.4
 
 
-def _gauss_kernel1d(sigma: float, radius: int) -> jax.Array:
-    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    k = jnp.exp(-0.5 * (x / sigma) ** 2)
-    return k / jnp.sum(k)
+def _gauss_blur_lum(lum: jax.Array, sigma: float) -> tuple[jax.Array, int]:
+    """Separable Gaussian blur of a (H,W) luminance image with the shader's
+    kernel (exp(-x^2/2s^2), normalized over the sampled window; the border
+    region inside the radius is handled by the caller via masking)."""
+    radius = max(int(jnp.ceil(3.0 * sigma)), 1) if sigma > 0 else 1
+    import numpy as np
+    x = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    k = jnp.asarray(k / k.sum())
+    pad = jnp.pad(lum, ((radius, radius), (0, 0)), mode="edge")
+    out = jnp.zeros_like(lum)
+    for i in range(2 * radius + 1):
+        out = out + k[i] * jax.lax.dynamic_slice_in_dim(pad, i,
+                                                        lum.shape[0], 0)
+    pad = jnp.pad(out, ((0, 0), (radius, radius)), mode="edge")
+    out2 = jnp.zeros_like(lum)
+    for i in range(2 * radius + 1):
+        out2 = out2 + k[i] * jax.lax.dynamic_slice_in_dim(pad, i,
+                                                          lum.shape[1], 1)
+    return out2, radius
 
 
-def _sep_filter(img: jax.Array, k: jax.Array) -> jax.Array:
-    """Separable 2D convolution with reflect padding, channels last."""
-    r = (k.shape[0] - 1) // 2
-    pad = jnp.pad(img, ((r, r), (0, 0), (0, 0)), mode="edge")
-    out = jnp.zeros_like(img)
-    for i in range(k.shape[0]):
-        out = out + k[i] * jax.lax.dynamic_slice_in_dim(pad, i, img.shape[0], 0)
-    pad = jnp.pad(out, ((0, 0), (r, r), (0, 0)), mode="edge")
-    out2 = jnp.zeros_like(img)
-    for i in range(k.shape[0]):
-        out2 = out2 + k[i] * jax.lax.dynamic_slice_in_dim(pad, i, img.shape[1], 1)
-    return out2
+def _border_mask(h: int, w: int, radius: int) -> jax.Array:
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    return ((yy >= radius) & (yy < h - radius)
+            & (xx >= radius) & (xx < w - radius))
 
 
-def _sobel(img: jax.Array):
-    """Per-channel Sobel gradients; img (H,W,C) -> (gx, gy)."""
-    kx = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32) / 8.0
-    p = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
-    h, w = img.shape[:2]
-    gx = jnp.zeros_like(img)
-    gy = jnp.zeros_like(img)
-    for dy in range(3):
-        for dx in range(3):
-            sl = p[dy:dy + h, dx:dx + w]
-            gx = gx + kx[dy, dx] * sl
-            gy = gy + kx[dx, dy] * sl
-    return gx, gy
+def _spatial_features(img: jax.Array, ppd: float) -> jax.Array:
+    """(H,W,5) CSF-weighted multi-scale features
+    (computeSpatialFeatures, :266-305): |center_lum - gaussian_blur| per
+    frequency channel, zero inside the kernel radius of the border (the
+    shader's border early-out)."""
+    lum = img @ _LUM
+    h, w = lum.shape
+    feats = []
+    for f in FLIP_FREQUENCIES:
+        sigma = max(ppd / (f * 6.28), 0.5)
+        blurred, radius = _gauss_blur_lum(lum, sigma)
+        feat = jnp.abs(lum - blurred) * _csf_luminance(f)
+        feat = jnp.where(_border_mask(h, w, radius), feat, 0.0)
+        feats.append(feat)
+    return jnp.stack(feats, -1)
+
+
+def _sobel_lum(img: jax.Array) -> jax.Array:
+    """(H,W) Sobel gradient magnitude of luminance, zero on the 1px border
+    (computeFLIPApprox, :404-457)."""
+    lum = img @ _LUM
+    p = jnp.pad(lum, 1, mode="edge")
+    h, w = lum.shape
+    s = lambda dy, dx: p[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+    gx = (-s(-1, -1) + s(-1, 1) - 2 * s(0, -1) + 2 * s(0, 1)
+          - s(1, -1) + s(1, 1))
+    gy = (-s(-1, -1) - 2 * s(-1, 0) - s(-1, 1)
+          + s(1, -1) + 2 * s(1, 0) + s(1, 1))
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    return jnp.where(_border_mask(h, w, 1), mag, 0.0)
+
+
+def _color_error(reference: jax.Array, test: jax.Array) -> jax.Array:
+    """CSF-weighted YCxCz difference at the 1 cpd color band (:497-515)."""
+    a = _srgb_to_flip_space(reference)
+    b = _srgb_to_flip_space(test)
+    d = jnp.abs(a - b)
+    return (d[..., 0] * _csf_luminance(1.0)
+            + d[..., 1] * _csf_chrominance(1.0)
+            + d[..., 2] * _csf_chrominance(1.0))
 
 
 def flip(reference: jax.Array, test: jax.Array,
          pixels_per_degree: float = 67.0, approx: bool = False) -> jax.Array:
-    """Per-pixel FLIP error map in [0,1].
+    """Per-pixel FLIP error map in [0,1] (pre-pooling saturate(total)).
 
-    reference/test: (H,W,3) linear RGB in [0,1].
-    pixels_per_degree: viewing condition (reference default display setup).
-    approx=True matches the shader's single-scale Sobel fast path.
+    reference/test: (H,W,3) display-referred RGB in [0,1] (the shader loads
+    framebuffer sRGB values). approx=True selects the Sobel fast path.
     """
     reference = jnp.clip(reference, 0.0, 1.0)
     test = jnp.clip(test, 0.0, 1.0)
-
-    if not approx:
-        # spatial prefiltering of the opponent channels (CSF approximation)
-        sigma = 0.0047 * pixels_per_degree * 4.0
-        radius = max(int(3 * sigma), 1)
-        k = _gauss_kernel1d(sigma, radius)
-        ref_f = _sep_filter(reference, k)
-        test_f = _sep_filter(test, k)
+    color_err = _color_error(reference, test)
+    if approx:
+        fa = _sobel_lum(reference)
+        fb = _sobel_lum(test)
+        feature_err = (jnp.abs(fa - fb) * _csf_luminance(4.0)
+                       * FLIP_APPROX_FEATURE_WEIGHT)
     else:
-        ref_f, test_f = reference, test
-
-    a = _linear_to_ycxcz(ref_f)
-    b = _linear_to_ycxcz(test_f)
-
-    # color difference, normalized by the max HyAB of pure green vs blue
-    huge = _hyab(_linear_to_ycxcz(jnp.asarray([[[0.0, 1.0, 0.0]]])),
-                 _linear_to_ycxcz(jnp.asarray([[[0.0, 0.0, 1.0]]])))[0, 0]
-    qc, pc = 0.7, 0.4
-    d = _hyab(a, b)
-    d = jnp.where(
-        d < pc * huge,
-        (pc / huge) * d / pc,
-        pc + ((d - pc * huge) / (huge * (1.0 - pc))) * (1.0 - pc),
-    )
-    color_err = d ** qc
-
-    # feature (edge/point) difference on the achromatic channel
-    ya = (a[..., 0:1] + 16.0) / 116.0
-    yb = (b[..., 0:1] + 16.0) / 116.0
-    gxa, gya = _sobel(ya)
-    gxb, gyb = _sobel(yb)
-    ea = jnp.sqrt(gxa ** 2 + gya ** 2)[..., 0]
-    eb = jnp.sqrt(gxb ** 2 + gyb ** 2)[..., 0]
-    qf = 0.5
-    feature_err = jnp.clip(jnp.abs(ea - eb) * 4.0, 0.0, 1.0) ** qf
-
-    return jnp.clip(color_err * (1.0 - feature_err) + feature_err, 0.0, 1.0)
+        fa = _spatial_features(reference, pixels_per_degree)
+        fb = _spatial_features(test, pixels_per_degree)
+        feature_err = jnp.sum(jnp.abs(fa - fb), axis=-1)
+    return jnp.clip(color_err + feature_err, 0.0, 1.0)
 
 
-def flip_mean(reference: jax.Array, test: jax.Array, **kw) -> jax.Array:
-    return jnp.mean(flip(reference, test, **kw))
+def flip_mean(reference: jax.Array, test: jax.Array, q: float = 3.0,
+              **kw) -> jax.Array:
+    """Minkowski-pooled FLIP: (mean(saturate(total)^q))^(1/q) — the shader's
+    q=3 powered accumulation with the CPU-side q-root (:543, :184-187)."""
+    e = flip(reference, test, **kw)
+    return jnp.mean(e ** q) ** (1.0 / q)

@@ -189,6 +189,10 @@ def _attrs_copy(attrs_ref, scratch, sem, b, c):
 
 
 def _make_fwd_kernel(st: RasterStatics):
+    from vk_gaussian_splatting_tpu.ops.response import (
+        PIXEL_COLOR_FNS,
+        PIXEL_DEPTH_FNS,
+    )
     c = st.chunk
     uses_pix = USES_PIX_CTX[st.model]
     drow = DEPTH_ROW[st.model]
@@ -196,6 +200,8 @@ def _make_fwd_kernel(st: RasterStatics):
     color_fn = COLOR_FNS.get(st.model,
                              lambda blk: blk[ATTR_R:ATTR_B + 1, :])
     depth_fn = DEPTH_FNS.get(st.model, lambda blk: blk[drow:drow + 1, :])
+    pix_color_fn = PIXEL_COLOR_FNS.get(st.model)
+    pix_depth_fn = PIXEL_DEPTH_FNS.get(st.model)
 
     def kernel(seed_ref, word_ref, block_ref, attrs_ref, *rest):
         if uses_pix:
@@ -258,11 +264,19 @@ def _make_fwd_kernel(st: RasterStatics):
                 excl = _cumprod_exclusive(q)
                 tc = t_col[:, :]
                 w = alpha * excl * tc                          # (256, C)
-                cols = color_fn(block)                         # (3, C)
-                acc[:, :] = acc[:, :] + jax.lax.dot_general(
-                    w, cols, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                              # (256, 3)
+                if pix_color_fn is not None:
+                    # per-pixel interpolated colors (tri2d_smooth Gouraud):
+                    # exact VPU lane reductions per channel
+                    pcs = pix_color_fn(block, px, py)          # 3 x (256, C)
+                    acc[:, :] = acc[:, :] + jnp.concatenate(
+                        [jnp.sum(w * pc, axis=1, keepdims=True)
+                         for pc in pcs], axis=1)
+                else:
+                    cols = color_fn(block)                     # (3, C)
+                    acc[:, :] = acc[:, :] + jax.lax.dot_general(
+                        w, cols, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                          # (256, 3)
 
                 # depth picking at the iso thresholds
                 # (threedgs_raster.frag.slang:325-346); multi_iso records the
@@ -272,7 +286,9 @@ def _make_fwd_kernel(st: RasterStatics):
                     jnp.int32, (1, c), 1) * jnp.ones((PIX, 1), jnp.int32)
                 thresholds = (st.iso_thresholds if st.multi_iso
                               else (st.depth_iso,))
-                depth_row = depth_fn(block)                    # (1, C)
+                depth_row = (pix_depth_fn(block, px, py)
+                             if pix_depth_fn is not None
+                             else depth_fn(block))          # (256|1, C)
                 for i, thr in enumerate(thresholds):
                     cond = (t_after < thr) & (alpha > 0.0)
                     first = jnp.min(jnp.where(cond, lane, 1 << 20), axis=1,
@@ -538,10 +554,13 @@ def _rt_fwd(attrs, sched_word, sched_block, pix_ctx, seed, st):
 
 
 def _rt_bwd(st, res, g):
-    if st.model in COLOR_FNS:  # packed layouts carry bit patterns: no grads
+    from vk_gaussian_splatting_tpu.ops.response import PIXEL_COLOR_FNS
+    if st.model in COLOR_FNS or st.model in PIXEL_COLOR_FNS:
+        # packed layouts carry bit patterns; interpolated-attribute mesh
+        # models are a compositing prepass — neither is differentiated
         raise NotImplementedError(
-            "packed pair formats are forward-only; use pair_format='f32' "
-            "for training")
+            "this response model is forward-only; use pair_format='f32' "
+            "splat models for training")
     (attrs, sched_word, sched_block, pix_ctx, seed, out) = res
     # Backward context per tile from the saved forward output:
     #   S_total = rgb_out . g_rgb ; gt_tn = g_T * T_final

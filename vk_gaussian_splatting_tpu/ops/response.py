@@ -306,6 +306,86 @@ def tri2d_alpha(block, pix, px, py, live, st):
     return jnp.where(inside & live, 1.0, 0.0)
 
 
+# tri2d_smooth rows (S16 threedmesh_raster.vert+frag: per-vertex attributes
+# interpolated across the face — the reference's vertex shader emits
+# per-vertex position/normal and the hardware interpolates; here the kernel
+# computes barycentrics from the edge functions and interpolates
+# perspective-correctly):
+#   0-5 vertex xy (f32, absolute)   6 (r0,g0) bf16   7 (b0,r1)   8 (g1,b1)
+#   9 (r2,g2)   10 (b2, -)   11-13 view z0,z1,z2 (f32)   14 id
+TRIS_C01, TRIS_C23, TRIS_C45, TRIS_C67, TRIS_C8 = 6, 7, 8, 9, 10
+TRIS_Z0, TRIS_Z1, TRIS_Z2, TRIS_ID = 11, 12, 13, 14
+
+
+def _tri_edges(block, px, py):
+    """Edge functions on tile-recentred coordinates (see tri2d_alpha)."""
+    x0 = block[TRI_X0:TRI_X0 + 1, :]
+    y0 = block[TRI_Y0:TRI_Y0 + 1, :]
+    x1 = block[TRI_X1:TRI_X1 + 1, :]
+    y1 = block[TRI_Y1:TRI_Y1 + 1, :]
+    x2 = block[TRI_X2:TRI_X2 + 1, :]
+    y2 = block[TRI_Y2:TRI_Y2 + 1, :]
+    lx = px - 16.0 * jnp.floor(px / 16.0)
+    ly = py - 16.0 * jnp.floor(py / 16.0)
+    ox = px - lx
+    oy = py - ly
+    x0, y0 = x0 - ox, y0 - oy
+    x1, y1 = x1 - ox, y1 - oy
+    x2, y2 = x2 - ox, y2 - oy
+    e0 = (x1 - x0) * (ly - y0) - (y1 - y0) * (lx - x0)
+    e1 = (x2 - x1) * (ly - y1) - (y2 - y1) * (lx - x1)
+    e2 = (x0 - x2) * (ly - y2) - (y0 - y2) * (lx - x2)
+    return e0, e1, e2
+
+
+def _tri_barycentric(block, px, py):
+    """(w0, w1, w2) per (pixel, face): weight of vertex k = the opposite
+    edge function, normalized by the signed area (sign cancels)."""
+    e0, e1, e2 = _tri_edges(block, px, py)
+    area = e0 + e1 + e2
+    inv = 1.0 / jnp.where(jnp.abs(area) < 1e-12, 1.0, area)
+    return e1 * inv, e2 * inv, e0 * inv
+
+
+def tri2d_smooth_alpha(block, pix, px, py, live, st):
+    """Coverage identical to tri2d (rows 0-5 share the layout)."""
+    return tri2d_alpha(block, pix, px, py, live, st)
+
+
+def tri2d_smooth_pixel_depth(block, px, py):
+    """(256, C) perspective-correct interpolated view depth
+    (threedmesh_raster.vert.slang's hardware z interpolation)."""
+    w0, w1, w2 = _tri_barycentric(block, px, py)
+    z0 = block[TRIS_Z0:TRIS_Z0 + 1, :]
+    z1 = block[TRIS_Z1:TRIS_Z1 + 1, :]
+    z2 = block[TRIS_Z2:TRIS_Z2 + 1, :]
+    inv_z = (w0 / jnp.maximum(z0, 1e-6) + w1 / jnp.maximum(z1, 1e-6)
+             + w2 / jnp.maximum(z2, 1e-6))
+    return 1.0 / jnp.maximum(inv_z, 1e-12)
+
+
+def tri2d_smooth_pixel_colors(block, px, py):
+    """[r, g, b] per (pixel, face): perspective-correct Gouraud interpolation
+    of the per-vertex shaded colors (per-vertex normals lit in XLA — the
+    vertex-shader stage of threedmesh_raster)."""
+    r0, g0 = unpack2bf16(block[TRIS_C01:TRIS_C01 + 1, :])
+    b0, r1 = unpack2bf16(block[TRIS_C23:TRIS_C23 + 1, :])
+    g1, b1 = unpack2bf16(block[TRIS_C45:TRIS_C45 + 1, :])
+    r2, g2 = unpack2bf16(block[TRIS_C67:TRIS_C67 + 1, :])
+    b2, _ = unpack2bf16(block[TRIS_C8:TRIS_C8 + 1, :])
+    w0, w1, w2 = _tri_barycentric(block, px, py)
+    z0 = jnp.maximum(block[TRIS_Z0:TRIS_Z0 + 1, :], 1e-6)
+    z1 = jnp.maximum(block[TRIS_Z1:TRIS_Z1 + 1, :], 1e-6)
+    z2 = jnp.maximum(block[TRIS_Z2:TRIS_Z2 + 1, :], 1e-6)
+    a0, a1, a2 = w0 / z0, w1 / z1, w2 / z2
+    zp = 1.0 / jnp.maximum(a0 + a1 + a2, 1e-12)
+    return [
+        (a0 * r0 + a1 * r1 + a2 * r2) * zp,
+        (a0 * g0 + a1 * g1 + a2 * g2) * zp,
+        (a0 * b0 + a1 * b1 + a2 * b2) * zp,
+    ]
+
+
 def gut3d_alpha(block, pix, px, py, live, st):
     """(256, C) alpha from the exact 3D ray response.
 
@@ -365,20 +445,28 @@ def _row(i):
 
 ALPHA_FNS = {"gs2d": gs2d_alpha, "gs2d_clip": gs2d_clip_alpha,
              "gs2dp": gs2dp_alpha, "gut3d": gut3d_alpha,
-             "gut3dp": gut3dp_alpha, "tri2d": tri2d_alpha}
+             "gut3dp": gut3dp_alpha, "tri2d": tri2d_alpha,
+             "tri2d_smooth": tri2d_smooth_alpha}
 USES_PIX_CTX = {"gs2d": False, "gs2d_clip": True, "gs2dp": False,
-                "gut3d": True, "gut3dp": True, "tri2d": False}
+                "gut3d": True, "gut3dp": True, "tri2d": False,
+                "tri2d_smooth": False}
 # (1, C) or (C,)-broadcastable extractors the kernel uses for color rows,
 # aux depth picks, and splat-id picks (packed layouts unpack here)
 COLOR_FNS = {"gs2dp": gs2dp_colors, "gut3dp": gut3dp_colors}
 DEPTH_FNS = {"gs2dp": gs2dp_depth, "gut3dp": gut3dp_depth}
 DEPTH_ROW = {"gs2d": GS_DEPTH, "gs2d_clip": GS_DEPTH, "gut3d": GUT_DEPTH,
-             "tri2d": TRI_DEPTH, "gs2dp": GSP_SORTD, "gut3dp": GUTP_SORTD}
+             "tri2d": TRI_DEPTH, "gs2dp": GSP_SORTD, "gut3dp": GUTP_SORTD,
+             "tri2d_smooth": TRIS_Z0}
 ID_ROW = {"gs2d": GS_ID, "gs2d_clip": GS_ID, "gut3d": GUT_ID,
-          "tri2d": TRI_ID, "gs2dp": GSP_ID, "gut3dp": GUTP_ID}
+          "tri2d": TRI_ID, "gs2dp": GSP_ID, "gut3dp": GUTP_ID,
+          "tri2d_smooth": TRIS_ID}
+# per-PIXEL attribute models (interpolated rather than per-candidate
+# constant): (block, px, py) -> (256, C) depth / [r, g, b] of (256, C)
+PIXEL_DEPTH_FNS = {"tri2d_smooth": tri2d_smooth_pixel_depth}
+PIXEL_COLOR_FNS = {"tri2d_smooth": tri2d_smooth_pixel_colors}
 # attr rows per layout — binning carries exactly these through the pair
 # sorts (payload count is the sort cost driver) and the blender DMAs
 # (NUM_ROWS, chunk) blocks
 NUM_ROWS = {"gs2d": GS_ID + 1, "gs2d_clip": GS_ID + 1, "gs2dp": GSP_ID + 1,
             "gut3d": GUT_ID + 1, "gut3dp": GUTP_ID + 1,
-            "tri2d": TRI_ID + 1}
+            "tri2d": TRI_ID + 1, "tri2d_smooth": TRIS_ID + 1}

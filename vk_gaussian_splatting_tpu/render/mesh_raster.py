@@ -94,9 +94,10 @@ def mesh_buffers_from_obj(mesh: ObjMesh, transform: np.ndarray | None = None
 
 
 def _project_triangles(mesh: MeshBuffers, cam: Camera, cfg: RenderConfig,
-                       lights) -> tuple[ProjectedSplats, jax.Array]:
-    """Project + flat-shade triangles; returns a ProjectedSplats adapter for
-    binning (xy = centroid, radius = half bbox) + per-vertex uv array."""
+                       lights):
+    """Project + shade triangles; returns (ProjectedSplats adapter for
+    binning [xy = centroid, radius = half bbox], per-vertex uv (F,3,2),
+    per-vertex view z (F,3), per-vertex shaded colors (F,3,3))."""
     p_view = view_transform_points(cam.viewmat, mesh.positions)   # (V,3)
     z = p_view[:, 2]
     zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
@@ -114,22 +115,38 @@ def _project_triangles(mesh: MeshBuffers, cam: Camera, cfg: RenderConfig,
     center = 0.5 * (lo + hi)
     radius = jnp.ceil(0.5 * (hi - lo)) + 1.0                      # (F,2)
 
-    # flat shading at face centers (wavefront direct lighting subset)
-    fpos = mesh.positions[mesh.indices].mean(axis=1)              # (F,3)
-    fnrm = mesh.normals[mesh.indices].mean(axis=1)
+    lights = list(lights) if lights else [headlight(cam.position)]
+
+    # per-vertex Gouraud shading (the vertex-shader stage of
+    # threedmesh_raster.vert.slang): each corner lit with ITS normal
+    vpos = mesh.positions[mesh.indices]                           # (F,3,3)
+    vnrm = mesh.normals[mesh.indices]
+    vnrm = vnrm / jnp.maximum(
+        jnp.linalg.norm(vnrm, axis=-1, keepdims=True), 1e-12)
+    base = (mesh.face_emission + 0.1 * mesh.face_colors)[:, None, :]
+    vcol = jnp.broadcast_to(base, vpos.shape)
+    for light in lights:
+        lit = compute_light(light, vpos.reshape(-1, 3),
+                            vnrm.reshape(-1, 3)).reshape(vpos.shape)
+        vcol = vcol + mesh.face_colors[:, None, :] * lit
+
+    # flat shading at face centers (the "flat" tier + the face color the
+    # wavefront shading reuses)
+    fnrm = vnrm.mean(axis=1)
     fnrm = fnrm / jnp.maximum(
         jnp.linalg.norm(fnrm, axis=-1, keepdims=True), 1e-12)
-    lights = list(lights) if lights else [headlight(cam.position)]
+    fpos = vpos.mean(axis=1)
     radiance = mesh.face_emission + 0.1 * mesh.face_colors
     for light in lights:
         radiance = radiance + mesh.face_colors * compute_light(
             light, fpos, fnrm)
 
-    return ProjectedSplats(
+    proj = ProjectedSplats(
         xy=center, conic=jnp.zeros((center.shape[0], 3), jnp.float32),
         depth=depth, radius=jnp.where(valid[:, None], radius, 0.0),
         color=radiance, alpha=jnp.ones_like(depth), valid=valid,
-    ), tri_uv
+    )
+    return proj, tri_uv, tri_z, vcol
 
 
 def _tri_attr_rows(tri_uv: jax.Array, proj: ProjectedSplats) -> jax.Array:
@@ -148,20 +165,44 @@ def _tri_attr_rows(tri_uv: jax.Array, proj: ProjectedSplats) -> jax.Array:
     ], axis=0)
 
 
+def _tri_smooth_attr_rows(tri_uv: jax.Array, tri_z: jax.Array,
+                          vcol: jax.Array) -> jax.Array:
+    """(15, F) rows in the tri2d_smooth layout (ops/response.py): absolute
+    vertex xy, bf16-packed per-vertex shaded colors, f32 per-vertex view z."""
+    from vk_gaussian_splatting_tpu.ops.response import pack2bf16
+    f = tri_uv.shape[0]
+    c = jnp.clip(vcol, 0.0, None)
+    return jnp.stack([
+        tri_uv[:, 0, 0], tri_uv[:, 0, 1],
+        tri_uv[:, 1, 0], tri_uv[:, 1, 1],
+        tri_uv[:, 2, 0], tri_uv[:, 2, 1],
+        pack2bf16(c[:, 0, 0], c[:, 0, 1]),          # TRIS_C01 (r0, g0)
+        pack2bf16(c[:, 0, 2], c[:, 1, 0]),          # TRIS_C23 (b0, r1)
+        pack2bf16(c[:, 1, 1], c[:, 1, 2]),          # TRIS_C45 (g1, b1)
+        pack2bf16(c[:, 2, 0], c[:, 2, 1]),          # TRIS_C67 (r2, g2)
+        pack2bf16(c[:, 2, 2], jnp.zeros((f,))),     # TRIS_C8 (b2, -)
+        tri_z[:, 0], tri_z[:, 1], tri_z[:, 2],      # TRIS_Z0..Z2
+        jnp.arange(f, dtype=jnp.int32).astype(jnp.float32),  # TRIS_ID
+    ], axis=0)
+
+
 def render_mesh(mesh: MeshBuffers, cam: Camera, cfg: RenderConfig,
                 max_pairs: int, lights=(), interpret: bool | None = None):
     """Rasterize a triangle mesh: returns (color (H,W,3), coverage mask
     transmittance (H,W) — 0 where covered, depth (H,W), face id (H,W))."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    proj, tri_uv = _project_triangles(mesh, cam, cfg, lights)
+    proj, tri_uv, tri_z, vcol = _project_triangles(mesh, cam, cfg, lights)
+    smooth = cfg.raster.mesh_shading == "smooth"
     # opaque geometry: the depth-iso pick at threshold ~1 records the first
     # covering face
     st = RasterStatics(
         tiles_x=tiles_x(cfg), tiles_y=tiles_y(cfg), chunk=cfg.raster.chunk,
-        model="tri2d", depth_iso=0.999, interpret=interpret,
+        model="tri2d_smooth" if smooth else "tri2d", depth_iso=0.999,
+        interpret=interpret,
     )
-    rows = _tri_attr_rows(tri_uv, proj)
+    rows = (_tri_smooth_attr_rows(tri_uv, tri_z, vcol) if smooth
+            else _tri_attr_rows(tri_uv, proj))
     exact = cfg.raster.expansion == "exact"
     bins = bin_splats(
         proj, rows, tile_size=cfg.raster.tile_size, tiles_x=st.tiles_x,

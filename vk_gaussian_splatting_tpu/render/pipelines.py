@@ -495,7 +495,10 @@ def render_hybrid(
         render_normal_buffer,
     )
     from vk_gaussian_splatting_tpu.render.rays import build_tile_rays
-    from vk_gaussian_splatting_tpu.render.shadows import make_shadow_fn
+    from vk_gaussian_splatting_tpu.render.shadows import (
+        make_ray_shadow_fn,
+        make_shadow_fn,
+    )
 
     if material is None:
         material = DeferredMaterial()
@@ -522,9 +525,13 @@ def render_hybrid(
     normal_img = render_normal_buffer(prepared, proj, cam, cfg, st,
                                       max_pairs, pix_ctx,
                                       use_gut_rows=use_gut)
-    shadow_fn = (make_shadow_fn(prepared, tuple(lights), cfg, shadow_res,
-                                interpret)
-                 if lights else None)
+    if not lights:
+        shadow_fn = None
+    elif cfg.rt.shadows == "ray":
+        shadow_fn = make_ray_shadow_fn(prepared, cfg)
+    else:
+        shadow_fn = make_shadow_fn(prepared, tuple(lights), cfg, shadow_res,
+                                   interpret)
     shaded = deferred_shade(img, trans, normal_img, depth, cam, cfg,
                             list(lights), material, shadow_fn=shadow_fn)
     render_out = RenderOutput(image=img, transmittance=trans, depth=depth,

@@ -159,3 +159,34 @@ def make_shadow_fn(prepared: PreparedSplats, lights, cfg: RenderConfig,
         return sample_shadow(world_pos, maps[id(light)])
 
     return shadow_fn
+
+
+def make_ray_shadow_fn(prepared: PreparedSplats, cfg: RenderConfig,
+                       shadow_offset: float = 0.05, chunk: int = 256,
+                       ray_block: int = 2048):
+    """Exact per-ray shadow transmittance (the reference's per-pixel shadow
+    trace, rgen:1261-1464): one ray per shade point toward the light,
+    integrating splat opacity with ops/raytrace.trace_splats. Continuous
+    transmittance (no 5-level staircase) and correct for enclosed point
+    lights — at per-frame trace cost; deep shadow maps remain the fast path
+    (rt.shadows config selects)."""
+    from vk_gaussian_splatting_tpu.ops.raytrace import trace_splats
+    from vk_gaussian_splatting_tpu.scene.lights import LightType
+
+    def shadow_fn(world_pos, light):
+        shape = world_pos.shape[:-1]
+        p = world_pos.reshape(-1, 3)
+        is_dir = light.type == LightType.DIRECTIONAL
+        dirn = light.direction / jnp.maximum(
+            jnp.linalg.norm(light.direction), 1e-9)
+        to_light = jnp.where(is_dir, -dirn[None, :], light.position - p)
+        dist = jnp.linalg.norm(to_light, axis=-1)
+        d = to_light / jnp.maximum(dist[:, None], 1e-9)
+        t_max = jnp.where(is_dir, jnp.inf, dist)
+        res = trace_splats(
+            prepared, p, d,
+            jnp.full((p.shape[0],), shadow_offset), t_max, cfg,
+            chunk=chunk, ray_block=ray_block, order="radial")
+        return res.transmittance.reshape(shape)
+
+    return shadow_fn

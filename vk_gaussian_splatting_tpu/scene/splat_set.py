@@ -137,14 +137,29 @@ def covariance_from_scale_rot(scales_log: jax.Array, quats: jax.Array,
 
     Matches the reference upload-time precompute (splat_set_vk.cpp:265-288):
     scales exponentiate from log space, quaternion normalized.
+
+    Column arithmetic, not an (N,3,3) einsum: TPU tiling pads the trailing
+    3x3 dims to (4,128) lanes, so the einsum's fused temporaries cost ~57x
+    their logical size — 11.8 GB at 6.2M splats (OOM on one v5e). Columns
+    tile natively with no waste.
     """
     s = jnp.exp(scales_log) * scale_multiplier          # (N,3)
-    r = quat_to_rotmat(quats)                           # (N,3,3)
-    m = r * s[..., None, :]                             # R @ diag(s)
-    cov = jnp.einsum("nij,nkj->nik", m, m,
-                     precision=jax.lax.Precision.HIGHEST)  # M Mᵀ
+    q = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True).clip(1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    # rows of M = R @ diag(s): m[i][j] = R[i][j] * s[j]
+    r = [
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ]
+    s0, s1, s2 = s[..., 0], s[..., 1], s[..., 2]
+    m = [[r[i][0] * s0, r[i][1] * s1, r[i][2] * s2] for i in range(3)]
+
+    def dot(i, j):
+        return m[i][0] * m[j][0] + m[i][1] * m[j][1] + m[i][2] * m[j][2]
+
     return jnp.stack(
-        [cov[:, 0, 0], cov[:, 0, 1], cov[:, 0, 2], cov[:, 1, 1], cov[:, 1, 2], cov[:, 2, 2]],
+        [dot(0, 0), dot(0, 1), dot(0, 2), dot(1, 1), dot(1, 2), dot(2, 2)],
         axis=-1,
     )
 
