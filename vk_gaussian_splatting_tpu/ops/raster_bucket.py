@@ -246,11 +246,17 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
 
         # compute on statically-addressed copies (Mosaic vector ops cannot
         # read-modify-write through a dynamically indexed buffer slot)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, c_sort), 1)
         for t in range(TPT):
-            work[t] = cand2[slot, t]
+            if c_total < c_sort:
+                # lanes [c_total, c_sort) are never DMA'd: zero them so
+                # stale VMEM garbage (NaN/Inf bit patterns) cannot poison
+                # the blend through 0*NaN even with alpha masked to 0
+                work[t] = jnp.where(lane < c_total, cand2[slot, t], 0.0)
+            else:
+                work[t] = cand2[slot, t]
 
         # ---- key rows: live depth, +inf for head/tail/pad lanes -----------
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, c_sort), 1)
         n_lives = []
         for t in range(TPT):
             live = jnp.zeros((1, c_sort), jnp.bool_)
@@ -281,10 +287,17 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
             k *= 2
 
         # ---- front-to-back chunked blend (pair-kernel math), interleaved --
+        n_thr = len(st.iso_thresholds) if st.multi_iso else 1
+        # unused pick columns start at 0 (not 1e30) so the picks-skip
+        # condition max(pick_d) > 1e29 can actually become false once the
+        # live thresholds resolve
+        pick_init = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (PIX, 4), 1) < n_thr,
+            1e30, 0.0)
         for t in range(TPT):
             acc[t] = jnp.zeros((PIX, 3), jnp.float32)
             t_col[t] = jnp.ones((PIX, 1), jnp.float32)
-            pick_d[t] = jnp.full((PIX, 4), 1e30, jnp.float32)
+            pick_d[t] = pick_init
             pick_id[t] = jnp.full((PIX, 1), -1.0, jnp.float32)
         pxy = [_tile_pixel_coords(tids[t], st.tiles_x) for t in range(TPT)]
         if uses_pix:
@@ -300,7 +313,11 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
             block = work[t, :, ci * c:(ci + 1) * c]
             key = block[key_row:key_row + 1, :]
             lane_live = key < (DEAD_KEY * 0.5)
-            rng_key = (seed_ref[0] + (j * TPT + t) * n_chunks + ci
+            # seed from the CLAMPED tile id (tids[t]): on a final partial
+            # step the duplicate tiles then compute identical bytes (their
+            # racing same-destination copies stay benign) and the stream
+            # matches the backward's seed_ref[0] + tile*n_chunks + ci
+            rng_key = (seed_ref[0] + tids[t] * n_chunks + ci
                        if st.stochastic else None)
             alpha_fn = _alpha_closure(st, pix, px, py, 0, c, rng_key)
             alpha = jnp.where(lane_live, alpha_fn(block), 0.0)
@@ -499,6 +516,9 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
             ).wait()
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, c_sort), 1)
+        if c_total < c_sort:
+            # never-DMA'd lanes: zero stale VMEM garbage (see fwd kernel)
+            work[:, :] = jnp.where(lane < c_total, work[:, :], 0.0)
         live = jnp.zeros((1, c_sort), jnp.bool_)
         n_live = jnp.int32(0)
         for i, (s, ln) in enumerate(spans):

@@ -244,7 +244,12 @@ def render_3dgs(
     if packed:
         st = dataclasses.replace(st, model="gs2dp")
     samples = max(cfg.temporal_samples, 1) if st.stochastic else 1
-    if cfg.raster.method == "bucket":
+    # host_order must drive the BLEND order; the bucket kernel re-sorts
+    # candidates by the attrs' device depth row, which would silently ignore
+    # the host permutation — the pair schedule blends in binning order, so
+    # SortMethod.HOST parity routes through it
+    use_bucket = cfg.raster.method == "bucket" and host_order is None
+    if use_bucket:
         img = trans = depth = splat_id = out0 = None
         for sample in range(samples):
             seed = jnp.full((1,), sample * 7919 + 1, jnp.int32)
