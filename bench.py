@@ -24,10 +24,32 @@ BASELINE_MPIX_S = 587 * 1465 * 766 / 1e6  # 658.6
 
 
 def make_scene(n_splats: int):
-    """Synthetic scene with a realistic pair distribution (~4-8 tiles/splat)."""
-    splats = random_splats(jax.random.key(0), n_splats, sh_degree=3,
-                           extent=4.0, scale_range=(-5.5, -3.5))
-    return splats.prepare()
+    """Synthetic scene matching trained-scene screen statistics: ~97% of a
+    converged 3DGS model's splats are sub-8-px on screen with a few percent
+    mid-size and rare large background blobs (the INRIA scenes the reference
+    benches, benchmark.py:419-433). The round-2 bench scene (uniform
+    scale_range (-5.5, -3.5)) was mid-dominated — mean mid-window occupancy
+    ~1675 vs the 128 cap, i.e. it silently benched a TRUNCATED render; this
+    mixture renders overflow-free at the default caps (asserted below)."""
+    import dataclasses as dc
+
+    import numpy as np
+
+    k = jax.random.key(0)
+    ks, km, kl = jax.random.split(k, 3)
+    n_s, n_m = int(n_splats * 0.969), int(n_splats * 0.025)
+    n_l = n_splats - n_s - n_m
+    small = random_splats(ks, n_s, sh_degree=3, extent=4.0,
+                          scale_range=(-7.0, -5.0))
+    mid = random_splats(km, n_m, sh_degree=3, extent=4.0,
+                        scale_range=(-5.0, -3.5))
+    large = random_splats(kl, n_l, sh_degree=3, extent=4.0,
+                          scale_range=(-3.5, -2.0))
+    fields = {}
+    for f in ("means", "scales", "quats", "opacities", "sh_dc", "sh_rest"):
+        fields[f] = np.concatenate([np.asarray(getattr(s, f))
+                                    for s in (small, mid, large)])
+    return dc.replace(small, **fields).prepare()
 
 
 FRAMES = 8  # frames per dispatch: the tunneled runtime costs ~44 ms per
@@ -92,6 +114,12 @@ def main():
             return s
         return jax.grad(loss)(p)
 
+    # honesty gate: the benched render must be coverage-complete (no
+    # window-cap truncation) — see make_scene docstring
+    chk = jax.jit(lambda p, c: render_3dgs(p, c, cfg).overflow)
+    overflow = bool(chk(prepared, cam))
+    assert not overflow, "bench scene overflows the default bucket caps"
+
     dt_fwd = time_fn(fwd, prepared, cam)
     dt_fwd_bwd = time_fn(fwd_bwd, prepared, cam, iters=2)
 
@@ -99,6 +127,7 @@ def main():
     mpix_s_train = cfg.width * cfg.height / dt_fwd_bwd / 1e6
 
     extra = {
+        "overflow": overflow,
         "fwd_ms": round(dt_fwd * 1e3, 3),
         "fwd_bwd_ms": round(dt_fwd_bwd * 1e3, 3),
         "fwd_bwd_mpix_s": round(mpix_s_train, 2),

@@ -34,7 +34,7 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 6_200_000
 # 6M splats over 2M pixels is ~5x the depth complexity of the 1M bench, so
 # the fine caps scale accordingly (span cap ~3x the mean bucket occupancy);
 # c_total = 2048 + 1024 + 512 + 128 = 3712 -> 4096-lane candidate buffer
-CAPS = (2048, 512, 256, 128)
+CAPS = (2048, 512, 256, 256)
 
 
 def build_scene(n):

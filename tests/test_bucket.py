@@ -95,8 +95,11 @@ def test_bucket_matches_pairs_big_splats():
     out = render_3dgs(prepared, cam,
                       _bucket_cfg(cfg, caps=(256, 256, 256, 256)))
     assert not bool(out.overflow)
+    # 5e-5: near-equal depths may blend in either order across the two
+    # architectures (merge network vs pair schedule); diffs stay at
+    # float-associativity scale
     np.testing.assert_allclose(np.asarray(out.image), np.asarray(ref.image),
-                               atol=3e-5)
+                               atol=5e-5)
 
 
 def test_bucket_matches_pairs_packed():
@@ -135,16 +138,49 @@ def test_bucket_matches_pairs_3dgrt():
 
 
 def test_bucket_overflow_flags_truncation():
-    prepared, cam, cfg = _scene(n=4000, seed=2)
+    # fine-dominated scene (max fine span ~213): the 128 fine cap truncates
+    # and must raise the flag; the 512 cap absorbs the same scene
+    prepared, cam, cfg = _scene(n=4000, seed=2, scale_range=(-5.5, -4.0))
     out = render_3dgs(prepared, cam, _bucket_cfg(cfg, caps=(128, 128, 128, 128)))
-    big = render_3dgs(prepared, cam, _bucket_cfg(cfg, caps=(1024, 512, 128, 128)))
-    # either nothing truncated (flags both clear, same image) or the flag fires
-    if bool(out.overflow):
-        # the larger caps must absorb the same scene without truncating
-        assert not bool(big.overflow)
-    else:
-        np.testing.assert_allclose(np.asarray(out.image),
-                                   np.asarray(big.image), atol=2e-5)
+    big = render_3dgs(prepared, cam, _bucket_cfg(cfg, caps=(512, 128, 128, 128)))
+    assert bool(out.overflow)
+    assert not bool(big.overflow)
+
+
+def test_bucket_merge_path_matches_pairs():
+    """Caps in the balanced OEM merge-tree shape (fine = 4*mid, mid ==
+    coarse) replace the in-kernel bitonic sort with the ~38-stage odd-even
+    merge over the presorted bucket runs; the blend must still match the
+    pair path. Mixed scales exercise fine + mid + coarse runs together."""
+    prepared, cam, cfg = _scene(n=300, seed=2, scale_range=(-5.0, 0.5))
+    ref = render_3dgs(prepared, cam, cfg, max_pairs=1 << 17)
+    out = render_3dgs(prepared, cam,
+                      _bucket_cfg(cfg, caps=(1024, 256, 256, 256)))
+    assert not bool(out.overflow)
+    d = np.abs(np.asarray(out.image) - np.asarray(ref.image))
+    assert d.max() < 2e-2
+    assert (d > 1e-3).mean() < 0.01
+
+
+def test_bucket_merge_path_gradients():
+    """The merge path's backward (record exchanges, reverse replay) must
+    reproduce the pair path's parameter gradients."""
+    prepared, cam, cfg = _scene(n=200, w=64, h=48, seed=13,
+                                scale_range=(-4.5, -0.5))
+
+    def loss(pp, c):
+        out = render_3dgs(pp, cam, c, max_pairs=1 << 16)
+        return jnp.sum(out.image ** 2) + jnp.sum(out.transmittance ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, cfg))(prepared)
+    g_bkt = jax.grad(lambda p: loss(
+        p, _bucket_cfg(cfg, caps=(512, 128, 128, 128))))(prepared)
+    for name in ("means", "cov3d", "color"):
+        a = np.asarray(getattr(g_ref, name))
+        b = np.asarray(getattr(g_bkt, name))
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b / scale, a / scale, atol=2e-5,
+                                   err_msg=name)
 
 
 def test_bucket_empty_scene():

@@ -84,6 +84,11 @@ class RasterConfig:
 
     tile_size: int = 16
     chunk: int = 128             # pairs blended per tile-loop iteration (VMEM chunk)
+    bucket_chunk: int = 256      # bucket-kernel blend chunk: the per-chunk
+                                 # transmittance scan is a serial dependency
+                                 # chain, so fewer/larger chunks win (measured
+                                 # 147 -> 128 ms at 1080p/1M); falls back to
+                                 # 128 when it does not divide the cap total
     slots_k: int = 16            # max tiles per splat in slot expansion
     expansion: str = "slots"     # "slots" (fast, capped) | "exact" (searchsorted)
     # binning architecture: "bucket" sorts N splats once into shifted
@@ -92,11 +97,13 @@ class RasterConfig:
     # materializes (splat, tile) pairs and sorts P rows (ops/binning.py —
     # the differentiable path until the bucket backward lands)
     method: str = "pairs"
-    # per-class window-span capacities (fine, mid row, coarse row, global)
-    # for the bucket kernel's static VMEM budget; multiples of 128. The
-    # default sums to a 1024-lane candidate buffer (fine + 2 mid + 2 coarse
-    # + global spans)
-    bucket_caps: tuple = (384, 128, 128, 128)
+    # per-class window-span capacities (fine, mid pair, coarse pair, global)
+    # for the bucket kernel's static VMEM budget; multiples of 128 (all
+    # powers of two => the kernel's odd-even merge tree applies). The
+    # default sums to a 2304-lane candidate buffer (fine + 2 mid + 2 coarse
+    # + global spans), sized for trained-scene screen statistics at 1080p/1M
+    # (scripts/profile_binning.py measures per-class span occupancy)
+    bucket_caps: tuple = (512, 256, 512, 256)
     extent_sigma: float = 2.8284271247461903  # sqrt(8) std-devs (threedgs.h.slang stdDev)
     max_basis_px: float = 2048.0  # extent clamp (threedgs.h.slang:117-118)
     dilation: float = 0.3         # low-pass dilation (threedgs.h.slang:69-70)

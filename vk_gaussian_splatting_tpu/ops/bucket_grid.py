@@ -11,22 +11,27 @@ expansion with a class-pyramid binning whose sort stays O(N):
   EXACTLY its covered tile buckets via 4 static slot streams (unused slots
   carry a sentinel bucket). A tile's fine candidates are then exactly the
   splats that touch it — ONE contiguous span, no window amplification;
-- **mid / coarse classes** (r < 32 / < 128 px): one bucket per splat on a
-  HALF-CELL-SHIFTED grid (64 / 256 px cells, cell j covers
-  [c*j - c/2, c*j + c/2)). Because tile origins are 16-aligned and r < c/2,
-  the dilated tile rect always spans exactly the two cells
-  {16*tx // c, +1} per axis — each tile reads a 2x2-cell window as 2
-  contiguous row-spans;
+- **mid / coarse classes** (r < 32 / < 128 px): buckets are overlapping
+  CELL PAIRS of a HALF-CELL-SHIFTED grid (64 / 256 px cells, cell j covers
+  [c*j - c/2, c*j + c/2)); pair bucket (row, p) holds every splat whose
+  center lies in cells {p, p+1} of that row, so a splat duplicates into the
+  two pairs {j-1, j} (2 of the 4 slot streams). Because tile origins are
+  16-aligned and r < c/2, the dilated tile rect always spans exactly cells
+  {16*tx // c, +1} x {16*ty // c, +1} — i.e. pair bucket (jy, jx) and
+  (jy+1, jx): each tile reads its mid/coarse window as 2 SINGLE-BUCKET
+  spans. A single bucket is one depth-sorted run, which is what lets the
+  tile kernel replace its full bitonic sort with the odd-even merge tree
+  (ops/raster_bucket._oem_schedule);
 - **global class** (the rest): one bucket read by every tile.
 
 ONE ``lax.sort`` of the 4N slot rows by (bucket, view depth) carries the
 render attribute rows as payloads; per-bucket segments are depth-sorted runs.
-The tile kernel (ops/raster_bucket.py) DMAs, per tile, its 6 spans
-(fine + 2 mid + 2 coarse + global), merges them into depth order in VMEM
-(exact bitonic compare-exchange), and blends front-to-back. With the default
-caps (384, 128, 128, 128) the candidate buffer is exactly 1024 lanes — half
-the sort width (and ~40% fewer live candidates) of the earlier all-window
-layout.
+The tile kernel (ops/raster_bucket.py) DMAs, per tile, its 6 single-bucket
+spans (fine + 2 mid pairs + 2 coarse pairs + global) and merges the sorted
+runs into depth order in VMEM — a Batcher odd-even merge tree when every
+cap is a power of two (43 stages at the default (512, 256, 512, 128) =
+2176 lanes vs a 78-stage full bitonic at its 4096 pow2 pad), the exact
+full bitonic sort otherwise — then blends front-to-back.
 
 Per-span capacity is static (VMEM sizing); spans that exceed their cap
 truncate their depth tail and raise ``overflow`` — same contract as the
@@ -59,7 +64,9 @@ class BucketGridSpec:
 
     tiles_x: int
     tiles_y: int
-    dims: tuple          # ((gx0,gy0),(gx1,gy1),(gx2,gy2)) cells per class
+    dims: tuple          # class 0: (tiles_x, tiles_y); classes 1-2:
+                         # (x-pairs, cell-rows) of the shifted pair grid
+    cells_x: tuple       # classes 1-2: shifted CELL count per row (pairs+1)
     offsets: tuple       # linear bucket offset per class + (global, invalid)
     num_buckets: int     # total buckets incl. global + trailing invalid
 
@@ -67,15 +74,20 @@ class BucketGridSpec:
     def build(tiles_x: int, tiles_y: int) -> "BucketGridSpec":
         w, h = tiles_x * 16, tiles_y * 16
         dims = [(tiles_x, tiles_y)]  # fine = the tile grid itself (exact)
+        cells_x = [tiles_x]
         for cell in CLASS_CELL_PX[1:]:
-            # shifted cells 0..gx-1 cover centers in [-cell/2, w + cell/2)
-            dims.append((-(-w // cell) + 1, -(-h // cell) + 1))
+            # shifted cells 0..gc-1 cover centers in [-cell/2, w + cell/2);
+            # buckets are the gc-1 overlapping pairs {p, p+1}
+            gc = -(-w // cell) + 1
+            cells_x.append(gc)
+            dims.append((gc - 1, -(-h // cell) + 1))
         offs = [0]
         for gx, gy in dims:
             offs.append(offs[-1] + gx * gy)
         n = offs[-1] + 1  # + global bucket
         return BucketGridSpec(tiles_x=tiles_x, tiles_y=tiles_y,
-                              dims=tuple(dims), offsets=tuple(offs),
+                              dims=tuple(dims), cells_x=tuple(cells_x),
+                              offsets=tuple(offs),
                               num_buckets=n + 1)  # + invalid sentinel
 
 
@@ -94,9 +106,11 @@ def assign_buckets(proj: ProjectedSplats, spec: BucketGridSpec) -> jax.Array:
     """(4, N) i32 slot-stream bucket ids (sentinel = unused slot).
 
     Fine splats occupy up to 4 slots — one per covered tile (their rect spans
-    at most 2x2 tiles since r < 8). Mid/coarse/global splats occupy slot 0
-    with their shifted-grid cell; the shifted grids cover centers in
-    [-cell/2, W + cell/2) so no clamping distortion occurs."""
+    at most 2x2 tiles since r < 8). Mid/coarse splats occupy slots 0-1 with
+    the two overlapping pair buckets {jx-1, jx} of their shifted-grid cell
+    (one at a grid edge); global splats occupy slot 0. The shifted grids
+    cover centers in [-cell/2, W + cell/2) so no clamping distortion
+    occurs."""
     sentinel = spec.num_buckets - 1
     r = proj.radius.max(axis=1)
     x, y = proj.xy[:, 0], proj.xy[:, 1]
@@ -116,17 +130,24 @@ def assign_buckets(proj: ProjectedSplats, spec: BucketGridSpec) -> jax.Array:
                                spec.tiles_x, spec.tiles_y)
     fine = valid & (r < FINE_R_BOUND) & (x1 > x0) & (y1 > y0)
 
-    # slot 0 for non-fine classes: shifted-grid cell, coarsest first
+    # slots 0-1 for non-fine classes: the two x-pair buckets, coarsest first
     b0 = jnp.full(r.shape, spec.offsets[3], jnp.int32)  # global class
+    b1 = jnp.full(r.shape, sentinel, jnp.int32)
     for c in (2, 1):
-        gx, gy = spec.dims[c]
+        gp, gy = spec.dims[c]
+        gc = spec.cells_x[c]
         cell = CLASS_CELL_PX[c]
         jx = jnp.clip(jnp.floor((x + cell / 2) / cell).astype(jnp.int32),
-                      0, gx - 1)
+                      0, gc - 1)
         jy = jnp.clip(jnp.floor((y + cell / 2) / cell).astype(jnp.int32),
                       0, gy - 1)
-        b0 = jnp.where(r < CLASS_R_BOUNDS[c],
-                       spec.offsets[c] + jy * gx + jx, b0)
+        base = spec.offsets[c] + jy * gp
+        p0_ok = jx - 1 >= 0
+        p1_ok = jx <= gp - 1
+        s0 = jnp.where(p0_ok, jx - 1, jx)
+        in_c = r < CLASS_R_BOUNDS[c]
+        b0 = jnp.where(in_c, base + s0, b0)
+        b1 = jnp.where(in_c & p0_ok & p1_ok, base + jx, b1)
 
     def fine_tile(tx, ty, use):
         ok = fine & use & (tx < x1) & (ty < y1)
@@ -136,7 +157,9 @@ def assign_buckets(proj: ProjectedSplats, spec: BucketGridSpec) -> jax.Array:
     slots = jnp.stack([
         jnp.where(fine, fine_tile(x0, y0, ones), jnp.where(valid, b0,
                                                            sentinel)),
-        fine_tile(jnp.minimum(x0 + 1, x1 - 1), y0, x1 > x0 + 1),
+        jnp.where(fine, fine_tile(jnp.minimum(x0 + 1, x1 - 1), y0,
+                                  x1 > x0 + 1),
+                  jnp.where(valid, b1, sentinel)),
         fine_tile(x0, jnp.minimum(y0 + 1, y1 - 1), y1 > y0 + 1),
         fine_tile(jnp.minimum(x0 + 1, x1 - 1), jnp.minimum(y0 + 1, y1 - 1),
                   (x1 > x0 + 1) & (y1 > y0 + 1)),
@@ -148,22 +171,23 @@ def window_span_table(spec: BucketGridSpec) -> jax.Array:
     """(T, 6, 2) i32 (start_bucket, end_bucket) window spans per tile.
 
     Span 0: the tile's own fine bucket; 1-2: mid window rows; 3-4: coarse
-    window rows; 5: global. Each window row = 2 adjacent shifted cells = one
-    contiguous bucket range. Static per image size."""
+    window rows; 5: global. Each window row = ONE pair bucket (the 2x2-cell
+    window's x-pair), i.e. every span is a single depth-sorted bucket run.
+    Static per image size."""
     t = jnp.arange(spec.tiles_x * spec.tiles_y, dtype=jnp.int32)
     tx = t % spec.tiles_x
     ty = t // spec.tiles_x
     cols = [jnp.stack([t, t + 1], axis=-1)]  # fine: bucket t exactly
     for c in (1, 2):
-        gx, gy = spec.dims[c]
-        jx = tx * 16 // CLASS_CELL_PX[c]
+        gp, gy = spec.dims[c]
+        jx = jnp.minimum(tx * 16 // CLASS_CELL_PX[c], gp - 1)
         jy = ty * 16 // CLASS_CELL_PX[c]
         for dy in (0, 1):
             row = jy + dy
             ok = row < gy
-            base = spec.offsets[c] + jnp.clip(row, 0, gy - 1) * gx
-            s = base + jnp.minimum(jx, gx - 1)
-            e = jnp.where(ok, base + jnp.minimum(jx + 2, gx), s)
+            base = spec.offsets[c] + jnp.clip(row, 0, gy - 1) * gp
+            s = base + jx
+            e = jnp.where(ok, s + 1, s)
             cols.append(jnp.stack([s, e], axis=-1))
     g = jnp.full((t.shape[0], 2), spec.offsets[3], jnp.int32)
     g = g.at[:, 1].add(1)
@@ -232,7 +256,7 @@ def _bucket_impl(proj, attr_rows, *, spec: BucketGridSpec, caps: tuple,
 @partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "caps", "rows_to"))
 def bucket_splats(proj: ProjectedSplats, attr_rows: jax.Array, *,
                   tiles_x: int, tiles_y: int,
-                  caps: tuple = (384, 128, 128, 128),
+                  caps: tuple = (512, 256, 512, 256),
                   depth_override: jax.Array | None = None,
                   rows_to: int = 16) -> BucketBins:
     """Bucket + depth-sort splats for the neighborhood tile kernel.

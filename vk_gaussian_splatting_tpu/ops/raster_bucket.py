@@ -3,40 +3,46 @@
 Companion to ops/bucket_grid.py: instead of blending a pre-sorted pair list
 (ops/rasterize_pallas.py), each grid step renders one 16x16 tile end-to-end:
 
-1. DMA the tile's 6 window spans (its exact fine bucket, 2 mid + 2 coarse
-   window rows, the global bucket) from the (bucket, depth)-sorted splat
-   array — contiguous slices, 128-aligned by rounding the start down and
-   masking the head lanes;
-2. build the sort key row: the model's view depth for live lanes, +inf for
-   masked/pad lanes;
-3. EXACT in-VMEM bitonic sort of the whole (R, C) candidate buffer by the
-   key row — compare-exchange moves full f32 rows (pltpu.roll + select), so
-   payloads are bit-exact;
+1. DMA the tile's 6 single-bucket window spans (its exact fine bucket,
+   2 mid + 2 coarse pair buckets, the global bucket) from the
+   (bucket, depth)-sorted splat array — contiguous slices, 128-aligned by
+   rounding the start down and masking the head lanes;
+2. build the sort key row: the model's view depth for live lanes, -inf for
+   alignment-head lanes (so each span stays one ascending run), +inf for
+   tail/pad lanes;
+3. EXACT in-VMEM ordering by the key row — a Batcher odd-even MERGE tree
+   over the presorted bucket runs when every cap is a power of two (43
+   stages at the default caps vs the 78-stage full bitonic at the pow2
+   pad; _merge_plan), the full bitonic sort otherwise. Compare-exchange
+   moves full f32 rows (pltpu.roll + select), so payloads are bit-exact;
 4. front-to-back chunked blend — the same math as the pair kernel (alpha
    closure per response model, log-shift exclusive transmittance scan, MXU
    color contraction, iso-threshold depth/id picks), with early termination
-   on transmittance and on exhausted candidates.
+   on transmittance and on exhausted candidates; chunks wholly inside the
+   merged -inf head block are skipped.
 
 This trades the P~8-16M-row pair sort (~125 ms at 1080p/1M on v5e) for one
 N-row splat sort + an in-kernel merge whose cost scales with the per-tile
 candidate count. Replaces the dist+radix-sort+raster chain of the reference
 (gaussian_splatting.cpp:1298-1464) one tile at a time.
 
-Cost structure (measured v5e, 1080p/1M at the earlier all-window c_sort=2048
-layout): bitonic ~89 ms, blend ~40 ms, DMA/fixed ~29 ms. The sort scales with
-buffer WIDTH x ROWS — and the per-stage cost has a large row-independent
-component (the (1, C) key-compare ops occupy full vregs at 1/8 sublane
-utilization) — so the levers applied here are: the exact-fine layout halves
-the default candidate width to 1024; the packed gs2dp layout (8 rows incl.
-its exact f32 sort-depth row) runs in an 8-sublane buffer (half the roll and
-DMA cost of the 16-row f32 layouts). Output writes are fire-and-forget
-(2-slot rotation), and depth/id picks are skipped once every pixel has
-resolved.
+Cost structure (measured v5e, 1080p/1M): each compare-exchange stage is
+VLIW-latency-bound (~125 ns at 16 rows; masks-from-iota beat preloaded
+mask constants; an (8, C/128) transposed layout only pays off at 8 rows /
+TPT=4 — scripts/bench_sort_stage.py), so the merge tree's stage-count cut
+is the sort lever, and blend/DMA dominate the rest. The packed gs2dp
+layout (8 rows incl. its exact f32 sort-depth row) runs in an 8-sublane
+buffer (half the roll and DMA cost of the 16-row f32 layouts). Output
+writes are fire-and-forget (2-slot rotation), and depth/id picks are
+skipped once every pixel has resolved.
 
-The backward (bucket_render's custom VJP) re-sorts per tile, runs the pair
-kernel's forward-order gradient sweep, bitonic-un-sorts d by the carried
-pre-sort lane index, and RMW-accumulates spans into the global d_attrs;
-an XLA id-sort + slot reduction then restores splat order.
+The backward (bucket_render's custom VJP) re-orders per tile (recording
+the merge tree's per-stage exchange masks), runs the pair kernel's
+forward-order gradient sweep, restores span layout by replaying the
+recorded exchanges in reverse (or, on the bitonic fallback, by
+bitonic-un-sorting on a carried lane index), and RMW-accumulates spans
+into the global d_attrs; an XLA id-sort + slot reduction then restores
+splat order.
 """
 
 from __future__ import annotations
@@ -116,9 +122,19 @@ def _span_offsets(caps: tuple):
     """Static candidate-buffer layout: span i occupies [off[i], off[i]+cap_i).
 
     caps = (fine, mid_row, coarse_row, global); spans are [fine, mid x2,
-    coarse x2, global]. Caps must be multiples of 128 (HBM slice tiling)."""
+    coarse x2, global]. Caps must be multiples of 128 (HBM slice tiling).
+    On the merge path the buffer layout follows the merge plan's
+    largest-first span order; otherwise spans lay out sequentially."""
     assert all(c % 128 == 0 for c in caps), "bucket caps must be x128"
     sizes = [caps[0]] + [caps[1]] * 2 + [caps[2]] * 2 + [caps[3]]
+    if _merge_caps_ok(caps):
+        order, _stages, c_total = _merge_plan(caps)
+        offs = [0] * len(sizes)
+        o = 0
+        for i in order:
+            offs[i] = o
+            o += sizes[i]
+        return offs, sizes, o
     offs, o = [], 0
     for s in sizes:
         offs.append(o)
@@ -129,30 +145,162 @@ def _span_offsets(caps: tuple):
 def _tile_spans(spec: BucketGridSpec, bstarts_ref, tt):
     """The 6 (start, len) scalar span descriptors of tile tt's windows:
     [own fine bucket, mid row 0, mid row 1, coarse row 0, coarse row 1,
-    global]."""
+    global]. Every span is ONE bucket — a single depth-sorted run (mid and
+    coarse use the overlapping x-pair buckets of ops/bucket_grid)."""
     tx = jax.lax.rem(tt, spec.tiles_x)
     ty = tt // spec.tiles_x
     s0 = bstarts_ref[tt]
     e0 = bstarts_ref[tt + 1]
     spans = [(s0, jnp.maximum(e0 - s0, 0))]
     for c in (1, 2):
-        gx, gy = spec.dims[c]
+        gp, gy = spec.dims[c]
         cell = CLASS_CELL_PX[c]
-        jx = (tx * TILE) // cell
+        jx = jnp.minimum((tx * TILE) // cell, gp - 1)
         jy = (ty * TILE) // cell
-        c0 = jnp.minimum(jx, gx - 1)
-        c1 = jnp.minimum(jx + 2, gx)
         for dy in (0, 1):
             row = jy + dy
             ok = row < gy
-            base = spec.offsets[c] + jnp.minimum(row, gy - 1) * gx
-            s = bstarts_ref[base + c0]
-            e = jnp.where(ok, bstarts_ref[base + c1], s)
+            base = spec.offsets[c] + jnp.minimum(row, gy - 1) * gp
+            s = bstarts_ref[base + jx]
+            e = jnp.where(ok, bstarts_ref[base + jx + 1], s)
             spans.append((s, jnp.maximum(e - s, 0)))
     s = bstarts_ref[spec.offsets[3]]
     e = bstarts_ref[spec.offsets[3] + 1]
     spans.append((s, jnp.maximum(e - s, 0)))
     return spans
+
+
+def _merge_caps_ok(caps: tuple) -> bool:
+    """True when every span size is a power of two (the global cap may be
+    any x128): the bucket runs are already depth-sorted by the binning, so
+    a Batcher odd-even MERGE tree (e.g. 38 stages for the default caps vs a
+    55+-stage full bitonic sort) orders the candidate buffer. Other cap
+    shapes fall back to the bitonic."""
+    f, m, _c, g = caps
+    sizes = [f] + [caps[1]] * 2 + [caps[2]] * 2
+    return g > 0 and all(s > 0 and (s & (s - 1)) == 0 for s in sizes)
+
+
+def _merge_plan(caps: tuple):
+    """(span_order, stages, c_total) for the general OEM merge tree.
+
+    Spans are laid out largest-first (binary-counter merging of equal pow2
+    regions keeps every merge's halves adjacent); the ragged global run
+    merges last, its second half extending past c_total into virtual +inf
+    lanes. stages = [(k, blocks)]; independent merges at the same tree
+    level share stages of equal k."""
+    sizes = [caps[0]] + [caps[1]] * 2 + [caps[2]] * 2 + [caps[3]]
+    gsz = sizes[-1]
+    ragged = gsz & (gsz - 1) != 0
+    order = sorted(range(len(sizes)),
+                   key=lambda i: (i == len(sizes) - 1, -sizes[i], i))
+    offs = {}
+    o = 0
+    for i in order:
+        offs[i] = o
+        o += sizes[i]
+    c_total = o
+
+    merges = []              # (base, n, level)
+    stack = []               # (base, pow2_len, level) — strictly decreasing
+    for i in order[:-1] if ragged else order:
+        stack.append((offs[i], sizes[i], 0))
+        while len(stack) >= 2 and stack[-2][1] == stack[-1][1]:
+            _b2, _l2, lev2 = stack.pop()
+            b1, l1, lev1 = stack.pop()
+            lev = max(lev1, lev2) + 1
+            merges.append((b1, l1, lev))
+            stack.append((b1, 2 * l1, lev))
+    if ragged:
+        stack.append((offs[order[-1]], gsz, 0))
+    # final ragged merges right-to-left (second halves end at the buffer,
+    # so their virtual +inf extension is safe)
+    while len(stack) >= 2:
+        _b2, _l2, lev2 = stack.pop()
+        b1, l1, lev1 = stack.pop()
+        lev = max(lev1, lev2) + 1
+        merges.append((b1, l1, lev))
+        stack.append((b1, 2 * l1, lev))
+
+    from collections import defaultdict
+    bylevel = defaultdict(list)
+    for b, n, lev in merges:
+        bylevel[lev].append((b, n))
+    stages = []
+    for lev in sorted(bylevel):
+        blocks = bylevel[lev]
+        k = max(n for _b, n in blocks)
+        while k >= 1:
+            blk = tuple((b, 2 * n) for b, n in blocks if n >= k)
+            stages.append((k, blk))
+            k //= 2
+    return tuple(order), tuple(stages), c_total
+
+
+def _oem_schedule(caps: tuple):
+    return _merge_plan(caps)[1]
+
+
+def _oem_stage(cand, key_row: int, c_total: int, k: int, blocks: tuple,
+               take_out=None):
+    """One shared odd-even-merge stage: ascending CE(a, a+k) for lanes
+    selected by the classic Batcher participation pattern within each
+    (base, two_n) block (halves [b, b+n) and [b+n, b+2n) each sorted).
+
+    Every comparator is ascending, so lanes pairing with virtual partners
+    (a + k >= c_total, conceptually +inf) simply keep their value — no
+    physical pow2 padding is needed (vrdx pads with 0xffffffff instead,
+    upsweep.slang:37). take_out, if given, records the exchange mask row
+    (f32 0/1) for the backward's reverse replay."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, c_total), 1)
+    x = cand[:, :]
+    up = pltpu.roll(x, c_total - k, axis=1)  # value from lane + k (circular)
+    dn = pltpu.roll(x, k, axis=1)            # value from lane - k
+    lo = jnp.zeros((1, c_total), jnp.bool_)
+    hi = jnp.zeros((1, c_total), jnp.bool_)
+    for (b, two_n) in blocks:
+        n = two_n // 2
+        rel = lane - b
+        relh = rel - k
+        if k == n:
+            lo_b = (rel >= 0) & (rel < n)
+            hi_b = (rel >= n) & (rel < two_n)
+        else:
+            lo_b = ((rel & k) != 0) & (rel >= 0) & (rel + k < two_n)
+            hi_b = ((relh & k) != 0) & (relh >= 0) & (relh + k < two_n)
+        lo = lo | lo_b
+        hi = hi | hi_b
+    lo = lo & (lane + k < c_total)  # virtual +inf partner: keep own value
+    key_self = x[key_row:key_row + 1, :]
+    key_up = up[key_row:key_row + 1, :]
+    key_dn = dn[key_row:key_row + 1, :]
+    take = (lo & (key_up < key_self)) | (hi & (key_dn > key_self))
+    partner = jnp.where(lo, up, dn)
+    cand[:, :] = jnp.where(take, partner, x)
+    if take_out is not None:
+        take_out[:, :] = jnp.where(take, 1.0, 0.0)
+
+
+def _oem_replay_stage(buf, take_ref, c_total: int, k: int, blocks: tuple):
+    """Apply one recorded OEM exchange to buf (the backward's un-sort):
+    permutation networks invert by replaying stages in reverse order with
+    the same swap set."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, c_total), 1)
+    x = buf[:, :]
+    up = pltpu.roll(x, c_total - k, axis=1)
+    dn = pltpu.roll(x, k, axis=1)
+    lo = jnp.zeros((1, c_total), jnp.bool_)
+    for (b, two_n) in blocks:
+        n = two_n // 2
+        rel = lane - b
+        if k == n:
+            lo_b = (rel >= 0) & (rel < n)
+        else:
+            lo_b = ((rel & k) != 0) & (rel >= 0) & (rel + k < two_n)
+        lo = lo | lo_b
+    take = take_ref[:, :] > 0.5
+    partner = jnp.where(lo, up, dn)
+    buf[:, :] = jnp.where(take, partner, x)
 
 
 def _bitonic_stage(cand, key_row: int, c_sort: int, k: int, j: int):
@@ -173,6 +321,14 @@ def _bitonic_stage(cand, key_row: int, c_sort: int, k: int, j: int):
     cand[:, :] = jnp.where(take, partner, x)
 
 
+def _sort_width(caps: tuple) -> int:
+    """Candidate-buffer lane count: the exact span total when the OEM merge
+    tree applies (virtual +inf lanes replace physical pow2 padding), else
+    the bitonic's next power of two."""
+    _offs, _sizes, c_total = _span_offsets(caps)
+    return c_total if _merge_caps_ok(caps) else _next_pow2(c_total)
+
+
 def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
     TPT = _tpt(st)  # noqa: N806 — shadows the module constant deliberately
     uses_pix = USES_PIX_CTX[st.model]
@@ -184,7 +340,9 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                              lambda blk: blk[ATTR_R:ATTR_B + 1, :])
     depth_fn = DEPTH_FNS.get(st.model, lambda blk: blk[drow:drow + 1, :])
     offs, sizes, c_total = _span_offsets(caps)
-    c_sort = _next_pow2(c_total)
+    merge_ok = _merge_caps_ok(caps)
+    c_sort = c_total if merge_ok else _next_pow2(c_total)
+    assert c_sort % st.chunk == 0, (c_sort, st.chunk)
     n_chunks = c_sort // st.chunk
 
     def issue_dmas(attrs_ref, cand, sems, spans):
@@ -256,35 +414,58 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
             else:
                 work[t] = cand2[slot, t]
 
-        # ---- key rows: live depth, +inf for head/tail/pad lanes -----------
+        # ---- key rows --------------------------------------------------
+        # live lanes carry the model depth. Dead lanes: +DEAD_KEY (sorts to
+        # the back), EXCEPT the DMA-alignment head lanes of non-empty spans
+        # on the merge path, which get -DEAD_KEY so each span stays one
+        # ascending run ([-inf..., live asc, +inf...]); they merge to the
+        # buffer front and the chunk loop skips over them.
         n_lives = []
+        n_heads = []
         for t in range(TPT):
             live = jnp.zeros((1, c_sort), jnp.bool_)
+            neg = jnp.zeros((1, c_sort), jnp.bool_)
             n_live = jnp.int32(0)
+            n_head = jnp.int32(0)
             for i, (s, ln) in enumerate(spans_t[t]):
                 head = s - (s // 128) * 128
                 n_eff = jnp.minimum(ln, sizes[i] - head)
                 lo = offs[i] + head
                 live = live | ((lane >= lo) & (lane < lo + n_eff))
                 n_live = n_live + n_eff
+                if merge_ok:
+                    neg = neg | ((lane >= offs[i]) & (lane < lo)
+                                 & (n_eff > 0))
+                    n_head = n_head + jnp.where(n_eff > 0, head, 0)
             depth_vals = depth_fn(work[t]).reshape(1, c_sort)
+            dead = (jnp.where(neg, -DEAD_KEY, DEAD_KEY) if merge_ok
+                    else DEAD_KEY)
             work[t, key_row:key_row + 1, :] = jnp.where(live, depth_vals,
-                                                        DEAD_KEY)
+                                                        dead)
             n_lives.append(n_live)
+            n_heads.append(n_head if merge_ok else jnp.int32(0))
 
-        # ---- exact bitonic merge by depth (full-row compare-exchange) -----
-        # The TPT tiles' sorts interleave stage-by-stage: each stage is one
-        # serial dependency chain (roll -> compare -> select), so a lone sort
-        # is VLIW-latency-bound (~75 ns/stage floor measured); adjacent
+        # ---- exact in-VMEM ordering by depth (full-row compare-exchange) --
+        # The TPT tiles' stages interleave: each stage is one serial
+        # dependency chain (roll -> compare -> select), so a lone sort is
+        # VLIW-latency-bound (~125 ns/stage floor measured); adjacent
         # independent chains let the static scheduler fill the bubbles.
-        k = 2
-        while k <= c_sort:
-            jj = k // 2
-            while jj >= 1:
+        if merge_ok:
+            # spans are depth-sorted runs (the binning's (bucket, depth)
+            # sort), so a ~38-stage odd-even merge tree replaces the full
+            # 55+-stage bitonic sort
+            for (k, blocks) in _oem_schedule(caps):
                 for t in range(TPT):
-                    _bitonic_stage(work.at[t], key_row, c_sort, k, jj)
-                jj //= 2
-            k *= 2
+                    _oem_stage(work.at[t], key_row, c_sort, k, blocks)
+        else:
+            k = 2
+            while k <= c_sort:
+                jj = k // 2
+                while jj >= 1:
+                    for t in range(TPT):
+                        _bitonic_stage(work.at[t], key_row, c_sort, k, jj)
+                    jj //= 2
+                k *= 2
 
         # ---- front-to-back chunked blend (pair-kernel math), interleaved --
         n_thr = len(st.iso_thresholds) if st.multi_iso else 1
@@ -312,7 +493,7 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
             px, py = pxy[t]
             block = work[t, :, ci * c:(ci + 1) * c]
             key = block[key_row:key_row + 1, :]
-            lane_live = key < (DEAD_KEY * 0.5)
+            lane_live = jnp.abs(key) < (DEAD_KEY * 0.5)
             # seed from the CLAMPED tile id (tids[t]): on a final partial
             # step the duplicate tiles then compute identical bytes (their
             # racing same-destination copies stay benign) and the stream
@@ -361,7 +542,10 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
 
         for ci in range(n_chunks):
             for t in range(TPT):
-                @pl.when((ci * c < n_lives[t])
+                # live lanes occupy [n_heads, n_heads + n_live): skip chunks
+                # wholly inside the merged -inf head block or past the tail
+                @pl.when((ci * c < n_heads[t] + n_lives[t])
+                         & ((ci + 1) * c > n_heads[t])
                          & (jnp.max(t_col[t]) > st.min_transmittance))
                 def _(t=t, ci=ci):
                     blend_chunk(t, ci)
@@ -420,8 +604,7 @@ def _bucket_call(st: RasterStatics, caps: tuple, n_pad: int):
     n_steps = -(-num_tiles // TPT)
     uses_pix = USES_PIX_CTX[st.model]
     r_buf = buf_rows(st.model)
-    _offs, _sizes, c_total = _span_offsets(caps)
-    c_sort = _next_pow2(c_total)
+    c_sort = _sort_width(caps)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
         pl.BlockSpec(memory_space=pltpu.SMEM),   # bucket starts
@@ -464,13 +647,17 @@ def _bucket_call(st: RasterStatics, caps: tuple, n_pad: int):
 
 
 def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
-    """Backward: per tile, re-DMA + re-sort the candidates (carrying their
-    pre-sort lane index in the id row), run the pair-kernel's forward-order
-    gradient sweep into a d buffer, bitonic-UN-sort d by the carried lane
-    index (restoring span layout), and RMW-accumulate each span back into
-    the global d_attrs array. Neighboring tiles' windows overlap in source
-    columns; the sequential grid + additive RMW make that safe (dead lanes
-    carry zero d)."""
+    """Backward: per tile, re-DMA + re-order the candidates, run the pair
+    kernel's forward-order gradient sweep into a d buffer, restore d to span
+    layout, and RMW-accumulate each span back into the global d_attrs array.
+
+    The restore step depends on the forward's ordering network: the OEM
+    merge path RECORDS each stage's exchange mask and replays the stages in
+    reverse on d (a permutation network inverts by reverse replay with the
+    same swap set); the bitonic fallback carries the pre-sort lane index in
+    the id row and bitonic-sorts d back by it. Neighboring tiles' windows
+    overlap in source columns; the sequential grid + additive RMW make that
+    safe (dead lanes carry zero d)."""
     uses_pix = USES_PIX_CTX[st.model]
     key_row = KEY_ROW[st.model]
     drow = DEPTH_ROW[st.model]
@@ -479,13 +666,17 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
     color_rows = (ATTR_R, ATTR_B)
     depth_fn = DEPTH_FNS.get(st.model, lambda blk: blk[drow:drow + 1, :])
     offs, sizes, c_total = _span_offsets(caps)
-    c_sort = _next_pow2(c_total)
+    merge_ok = _merge_caps_ok(caps)
+    c_sort = c_total if merge_ok else _next_pow2(c_total)
+    assert c_sort % st.chunk == 0, (c_sort, st.chunk)
     n_chunks = c_sort // st.chunk
     c = st.chunk
 
     def kernel(seed_ref, bstarts_ref, attrs_ref, ctx_hbm_ref, zeros_ref,
                *rest):
         del zeros_ref  # aliased with the d_attrs output
+        if merge_ok:
+            rest, takes = rest[:-1], rest[-1]  # last scratch: exchange log
         if uses_pix:
             (pixctx_ref, dattrs_ref, work, dwork, rmw, t_col, s_run, ctx,
              pixraw, pixscr, sems, dsem, csem, psem) = rest
@@ -520,26 +711,41 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
             # never-DMA'd lanes: zero stale VMEM garbage (see fwd kernel)
             work[:, :] = jnp.where(lane < c_total, work[:, :], 0.0)
         live = jnp.zeros((1, c_sort), jnp.bool_)
+        neg = jnp.zeros((1, c_sort), jnp.bool_)
         n_live = jnp.int32(0)
+        n_head = jnp.int32(0)
         for i, (s, ln) in enumerate(spans):
             head = s - (s // 128) * 128
             n_eff = jnp.minimum(ln, sizes[i] - head)
             lo = offs[i] + head
             live = live | ((lane >= lo) & (lane < lo + n_eff))
             n_live = n_live + n_eff
+            if merge_ok:
+                neg = neg | ((lane >= offs[i]) & (lane < lo) & (n_eff > 0))
+                n_head = n_head + jnp.where(n_eff > 0, head, 0)
+        if not merge_ok:
+            n_head = jnp.int32(0)
         depth_vals = depth_fn(work[:, :]).reshape(1, c_sort)
-        work[key_row:key_row + 1, :] = jnp.where(live, depth_vals, DEAD_KEY)
-        # the id row's value is not used by the sweep; carry the pre-sort
-        # lane index there so d can be un-sorted back to span layout
-        work[idrow:idrow + 1, :] = lane.astype(jnp.float32)
+        dead = (jnp.where(neg, -DEAD_KEY, DEAD_KEY) if merge_ok
+                else DEAD_KEY)
+        work[key_row:key_row + 1, :] = jnp.where(live, depth_vals, dead)
 
-        k = 2
-        while k <= c_sort:
-            jj = k // 2
-            while jj >= 1:
-                _bitonic_stage(work, key_row, c_sort, k, jj)
-                jj //= 2
-            k *= 2
+        if merge_ok:
+            # record each stage's exchange mask for the reverse replay
+            for si, (k, blocks) in enumerate(_oem_schedule(caps)):
+                _oem_stage(work, key_row, c_sort, k, blocks,
+                           take_out=takes.at[si])
+        else:
+            # the id row's value is not used by the sweep; carry the
+            # pre-sort lane index there so d can be un-sorted back
+            work[idrow:idrow + 1, :] = lane.astype(jnp.float32)
+            k = 2
+            while k <= c_sort:
+                jj = k // 2
+                while jj >= 1:
+                    _bitonic_stage(work, key_row, c_sort, k, jj)
+                    jj //= 2
+                k *= 2
 
         dwork[:, :] = jnp.zeros((r_buf, c_sort), jnp.float32)
         t_col[:, :] = jnp.ones((PIX, 1), jnp.float32)
@@ -552,12 +758,12 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
         pix = pixscr[:, :] if uses_pix else None
 
         for ci in range(n_chunks):
-            @pl.when((ci * c < n_live)
+            @pl.when((ci * c < n_head + n_live) & ((ci + 1) * c > n_head)
                      & (jnp.max(t_col[:, :]) > st.min_transmittance))
             def _(ci=ci):
                 block = work[:, ci * c:(ci + 1) * c]
                 key = block[key_row:key_row + 1, :]
-                lane_live = key < (DEAD_KEY * 0.5)
+                lane_live = jnp.abs(key) < (DEAD_KEY * 0.5)
                 rng_key = (seed_ref[0] + j * n_chunks + ci
                            if st.stochastic else None)
                 raw_alpha = _alpha_closure(st, pix, px, py, 0, c, rng_key)
@@ -601,16 +807,22 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                 s_run[:, :] = s_run[:, :] + jnp.sum(wcg, axis=1,
                                                     keepdims=True)
 
-        # un-sort d back to span layout by the carried pre-sort lane index
-        # (a full permutation: dead lanes carried their own index and zero d)
-        dwork[idrow:idrow + 1, :] = work[idrow:idrow + 1, :]
-        k = 2
-        while k <= c_sort:
-            jj = k // 2
-            while jj >= 1:
-                _bitonic_stage(dwork, idrow, c_sort, k, jj)
-                jj //= 2
-            k *= 2
+        # restore d to span layout (see docstring: reverse replay vs
+        # carried-index bitonic)
+        if merge_ok:
+            sched = _oem_schedule(caps)
+            for si in range(len(sched) - 1, -1, -1):
+                k, blocks = sched[si]
+                _oem_replay_stage(dwork, takes.at[si], c_sort, k, blocks)
+        else:
+            dwork[idrow:idrow + 1, :] = work[idrow:idrow + 1, :]
+            k = 2
+            while k <= c_sort:
+                jj = k // 2
+                while jj >= 1:
+                    _bitonic_stage(dwork, idrow, c_sort, k, jj)
+                    jj //= 2
+                k *= 2
         # the sort-key/id rows carry bookkeeping values, not gradients
         dwork[idrow:idrow + 1, :] = jnp.zeros((1, c_sort), jnp.float32)
         dwork[key_row:key_row + 1, :] = jnp.zeros((1, c_sort), jnp.float32)
@@ -643,8 +855,9 @@ def _bucket_bwd_call(st: RasterStatics, caps: tuple, n_pad: int):
     num_tiles = st.tiles_x * st.tiles_y
     uses_pix = USES_PIX_CTX[st.model]
     r_buf = buf_rows(st.model)
-    _offs, sizes, c_total = _span_offsets(caps)
-    c_sort = _next_pow2(c_total)
+    _offs, sizes, _c_total = _span_offsets(caps)
+    merge_ok = _merge_caps_ok(caps)
+    c_sort = _sort_width(caps)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
         pl.BlockSpec(memory_space=pltpu.SMEM),   # bucket starts
@@ -676,6 +889,12 @@ def _bucket_bwd_call(st: RasterStatics, caps: tuple, n_pad: int):
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ]
+    if merge_ok:
+        # per-stage exchange log for the reverse-replay un-sort; the stage
+        # axis leads as an UNTILED dim (Mosaic cannot slice a 2D scratch to
+        # one sublane: "slice shape along dimension 0 must be aligned to 8")
+        scratch.append(pltpu.VMEM((len(_oem_schedule(caps)), 1, c_sort),
+                                  jnp.float32))
     return pl.pallas_call(
         _make_bwd_kernel(st, caps, spec),
         grid=(num_tiles,),

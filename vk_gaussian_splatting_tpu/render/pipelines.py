@@ -190,6 +190,9 @@ def _render_bucket(proj, rows, cfg: RenderConfig, st, *,
     from vk_gaussian_splatting_tpu.ops.raster_bucket import bucket_render
 
     caps = tuple(cfg.raster.bucket_caps)
+    c_total = caps[0] + 2 * caps[1] + 2 * caps[2] + caps[3]
+    bc = cfg.raster.bucket_chunk
+    st = dataclasses.replace(st, chunk=bc if c_total % bc == 0 else 128)
     out, num_valid, overflow = bucket_render(
         proj, rows, depth_override, pix_ctx, seed, (st, caps))
     img, trans, depth, splat_id = assemble_image(
