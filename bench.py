@@ -64,13 +64,18 @@ def _sync(x):
     return float(jnp.sum(jax.tree.leaves(x)[0]))
 
 
-def time_fn(fn, *args, iters=3, warmup=2):
+def time_fn(fn, *args, iters=4, warmup=2):
+    """Min over iterations: the tunneled chip is time-shared, so individual
+    dispatches can be inflated many-fold by other tenants (observed 6x);
+    the minimum is the uncontended figure."""
     for _ in range(warmup):
         _sync(fn(*args))
-    t0 = time.perf_counter()
+    best = float("inf")
     for _ in range(iters):
+        t0 = time.perf_counter()
         _sync(fn(*args))
-    return (time.perf_counter() - t0) / iters / FRAMES
+        best = min(best, time.perf_counter() - t0)
+    return best / FRAMES
 
 
 def main():

@@ -60,3 +60,34 @@ def test_sharded_gut_matches_single_device(scene):
                        interpret=True)
     np.testing.assert_allclose(np.asarray(img_sh), np.asarray(ref.image),
                                atol=2e-3)
+
+
+def test_sharded_grt_matches_single_device(scene):
+    """Sharded 3DGRT primaries (radial blend order) vs the single-device
+    pipeline."""
+    from vk_gaussian_splatting_tpu.parallel import render_3dgrt_sharded
+    from vk_gaussian_splatting_tpu.render.pipelines import render_3dgrt
+
+    cfg, splats, cam = scene
+    ref = render_3dgrt(splats.prepare(), cam, cfg, max_pairs=1 << 15)
+    mesh = make_mesh(8)
+    img, trans = render_3dgrt_sharded(splats, cam, cfg, 1 << 15, mesh)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref.image),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(trans),
+                               np.asarray(ref.transmittance), atol=3e-5)
+
+
+def test_sharded_band_padding_non_divisible():
+    """tiles_y (5) not divisible by the mesh (8): bands pad and the result
+    crops back to the image height, matching single-device."""
+    cfg = RenderConfig(width=64, height=80, sh_degree=1)
+    splats = random_splats(jax.random.key(2), 200, sh_degree=1,
+                           scale_range=(-3.0, -1.0))
+    cam = look_at([0, 0, -9], [0, 0, 0], [0, 1, 0], cfg.width, cfg.height)
+    ref = render_3dgs(splats.prepare(), cam, cfg, max_pairs=1 << 15)
+    mesh = make_mesh(8)
+    img, trans = render_3dgs_sharded(splats, cam, cfg, 1 << 15, mesh)
+    assert img.shape == (80, 64, 3)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref.image),
+                               atol=2e-5)

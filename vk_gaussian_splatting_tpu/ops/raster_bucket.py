@@ -193,7 +193,8 @@ def _merge_plan(caps: tuple):
     gsz = sizes[-1]
     ragged = gsz & (gsz - 1) != 0
     order = sorted(range(len(sizes)),
-                   key=lambda i: (i == len(sizes) - 1, -sizes[i], i))
+                   key=lambda i: (ragged and i == len(sizes) - 1,
+                                  -sizes[i], i))
     offs = {}
     o = 0
     for i in order:

@@ -52,12 +52,17 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def _band_rows(cfg: RenderConfig, n_bands: int) -> int:
+    """Tile rows per band, padded up: when tiles_y does not divide the mesh
+    size, the last band renders rows past the image (empty — the shifted
+    projection leaves them uncovered) and the caller crops to height."""
+    return -(-tiles_y(cfg) // n_bands)
+
+
 def _render_band(proj: ProjectedSplats, cfg: RenderConfig, max_pairs: int,
                  band: int, n_bands: int, interpret: bool | None):
     """Rasterize one horizontal band of tile rows against full projected splats."""
-    ty_total = tiles_y(cfg)
-    assert ty_total % n_bands == 0, "tiles_y must divide the mesh size"
-    ty_local = ty_total // n_bands
+    ty_local = _band_rows(cfg, n_bands)
     y_off = (jnp.asarray(band, jnp.float32)
              * (ty_local * cfg.raster.tile_size))
 
@@ -101,7 +106,9 @@ def render_3dgs_sharded(splats: SplatSet, cam: Camera, cfg: RenderConfig,
         out_specs=(P(axis), P(axis)),
         check_vma=False,  # pallas_call outputs carry no vma info
     )
-    return fn(splats, cam)
+    img, trans = fn(splats, cam)
+    # crop band padding (last band may extend past the image)
+    return img[:cfg.height], trans[:cfg.height]
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_pairs", "mesh", "interpret"))
@@ -118,9 +125,7 @@ def render_3dgut_sharded(splats: SplatSet, cam: Camera, cfg: RenderConfig,
 
     axis = mesh.axis_names[0]
     nd = mesh.shape[axis]
-    ty_total = tiles_y(cfg)
-    assert ty_total % nd == 0, "tiles_y must divide the mesh size"
-    ty_local = ty_total // nd
+    ty_local = _band_rows(cfg, nd)
     h_local = ty_local * cfg.raster.tile_size
 
     def shard_fn(splats_local: SplatSet, cam: Camera):
@@ -158,7 +163,71 @@ def render_3dgut_sharded(splats: SplatSet, cam: Camera, cfg: RenderConfig,
         out_specs=(P(axis), P(axis)),
         check_vma=False,
     )
-    return fn(splats, cam)
+    img, trans = fn(splats, cam)
+    return img[:cfg.height], trans[:cfg.height]
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_pairs", "mesh", "interpret"))
+def render_3dgrt_sharded(splats: SplatSet, cam: Camera, cfg: RenderConfig,
+                         max_pairs: int, mesh: Mesh,
+                         interpret: bool | None = None):
+    """3DGRT primary rays over the mesh: splat-sharded UT projection +
+    band-sharded exact-ray blending in shared-origin RADIAL order (the
+    per-ray-t order of rgen:615-818 for primaries — see render_3dgrt).
+    Returns (image, transmittance) cropped to cfg.height."""
+    from vk_gaussian_splatting_tpu.ops.projection import ut_project_splats
+    from vk_gaussian_splatting_tpu.render.pipelines import (
+        _gut_statics,
+        gut_attr_rows,
+    )
+    from vk_gaussian_splatting_tpu.render.rays import build_tile_rays
+
+    axis = mesh.axis_names[0]
+    nd = mesh.shape[axis]
+    ty_local = _band_rows(cfg, nd)
+    h_local = ty_local * cfg.raster.tile_size
+
+    def shard_fn(splats_local: SplatSet, cam: Camera):
+        prepared = prepare_splats(splats_local, cfg.sh_format)
+        proj = ut_project_splats(prepared, cam, cfg)
+        radial = jnp.linalg.norm(prepared.means - cam.position, axis=-1)
+        rows = gut_attr_rows(prepared, proj, cfg, depth=radial)
+        band = jax.lax.axis_index(axis)
+        n_local = rows.shape[1]
+        rows = rows.at[-1].add(jnp.float32(n_local) * band.astype(jnp.float32))
+        proj = _gather_proj(proj, axis)
+        rows = jax.lax.all_gather(rows, axis, axis=1, tiled=True)
+        radial_g = jax.lax.all_gather(radial, axis, axis=0, tiled=True)
+
+        y_off = (jnp.asarray(band, jnp.float32)
+                 * (ty_local * cfg.raster.tile_size))
+        shifted = dataclasses.replace(
+            proj, xy=proj.xy - jnp.stack([jnp.zeros((), jnp.float32), y_off]))
+        local_cfg = cfg.replace(height=h_local)
+        band_cam = dataclasses.replace(cam, cy=cam.cy - y_off)
+        bins = bin_for_cfg(shifted, rows, local_cfg, max_pairs,
+                           depth_override=radial_g)
+        st = _gut_statics(
+            dataclasses.replace(raster_statics(cfg, interpret),
+                                tiles_y=ty_local),
+            cfg, packed=False,
+            alpha_clamp=cfg.rt.alpha_clamp,
+            min_transmittance=cfg.rt.min_transmittance)
+        pix_ctx = build_tile_rays(band_cam, local_cfg)
+        out = rasterize_bins(bins, pix_ctx, None, st)
+        img, trans = assemble_image(out, bins.seg_counts, st.tiles_x,
+                                    ty_local, cfg.width, h_local,
+                                    cfg.background)
+        return img, trans
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+    img, trans = fn(splats, cam)
+    return img[:cfg.height], trans[:cfg.height]
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_pairs", "mesh", "interpret"))
