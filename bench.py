@@ -30,10 +30,12 @@ def make_scene(n_splats: int):
     benches, benchmark.py:419-433). The round-2 bench scene (uniform
     scale_range (-5.5, -3.5)) was mid-dominated — mean mid-window occupancy
     ~1675 vs the 128 cap, i.e. it silently benched a TRUNCATED render; this
-    mixture renders overflow-free at the default caps (asserted below)."""
-    import dataclasses as dc
+    mixture renders overflow-free at the default caps (asserted below).
 
-    import numpy as np
+    Everything stays ON DEVICE (jnp.concatenate, not numpy): a host
+    round-trip of the ~430 MB attribute set over the tunneled runtime can
+    take minutes and once stalled the whole bench past the driver timeout."""
+    import dataclasses as dc
 
     k = jax.random.key(0)
     ks, km, kl = jax.random.split(k, 3)
@@ -47,8 +49,8 @@ def make_scene(n_splats: int):
                           scale_range=(-3.5, -2.0))
     fields = {}
     for f in ("means", "scales", "quats", "opacities", "sh_dc", "sh_rest"):
-        fields[f] = np.concatenate([np.asarray(getattr(s, f))
-                                    for s in (small, mid, large)])
+        fields[f] = jnp.concatenate([getattr(s, f)
+                                     for s in (small, mid, large)])
     return dc.replace(small, **fields).prepare()
 
 
@@ -99,9 +101,11 @@ def main():
     def fwd(p, c):
         def body(carry, i):
             o = render_3dgs(p, jitter(c, i), cfg)
-            return carry + jnp.sum(o.image), None
-        s, _ = jax.lax.scan(body, 0.0, jnp.arange(FRAMES))
-        return s
+            s, ov = carry
+            return (s + jnp.sum(o.image), ov | o.overflow), None
+        (s, ov), _ = jax.lax.scan(body, (0.0, jnp.bool_(False)),
+                                  jnp.arange(FRAMES))
+        return s, ov
 
     @jax.jit
     def fwd_bwd(p, c):
@@ -120,9 +124,10 @@ def main():
         return jax.grad(loss)(p)
 
     # honesty gate: the benched render must be coverage-complete (no
-    # window-cap truncation) — see make_scene docstring
-    chk = jax.jit(lambda p, c: render_3dgs(p, c, cfg).overflow)
-    overflow = bool(chk(prepared, cam))
+    # window-cap truncation) — see make_scene docstring. The flag rides the
+    # fwd program itself (a separate jit program would double compile time,
+    # which dominates wall clock on the tunneled runtime).
+    overflow = bool(fwd(prepared, cam)[1])
     assert not overflow, "bench scene overflows the default bucket caps"
 
     dt_fwd = time_fn(fwd, prepared, cam)
