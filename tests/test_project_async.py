@@ -154,3 +154,39 @@ def test_project_roundtrips_new_config_fields(tmp_path):
     assert back.config.shutter == ShutterType.ROLLING_LEFT_TO_RIGHT
     assert back.config.raster.pair_format == "packed"
     assert back.config.rt.max_bounces == 5
+
+
+def test_host_order_drives_bucket_kernel():
+    """SortMethod.HOST on the flagship bucket path (VERDICT r03 weak #4):
+    the CPU sorter's rank rides the spare key row and the kernel merges on
+    it, matching the device-sorted bucket render for a fresh sort."""
+    import dataclasses
+
+    cfg = RenderConfig(width=64, height=48, sh_degree=0)
+    bcfg = cfg.replace(raster=dataclasses.replace(
+        cfg.raster, method="bucket", bucket_caps=(256, 256, 128, 128)))
+    splats = random_splats(jax.random.key(2), 200, sh_degree=0,
+                           scale_range=(-2.5, -1.2))
+    prepared = splats.prepare()
+    cam = look_at([0, 0, -9], [0, 0, 0], [0, 1, 0], cfg.width, cfg.height)
+
+    sorter = AsyncHostSorter(np.asarray(prepared.means))
+    sorter.sort_async(np.asarray(cam.viewmat)[2, :3])
+    for _ in range(100):
+        res = sorter.consume()
+        if res is not None:
+            break
+        time.sleep(0.02)
+    order, _ = res
+
+    out_host = render_3dgs(prepared, cam, bcfg,
+                           host_order=jnp.asarray(order))
+    out_dev = render_3dgs(prepared, cam, bcfg)
+    assert not bool(out_host.overflow)
+    np.testing.assert_allclose(np.asarray(out_host.image),
+                               np.asarray(out_dev.image), atol=1e-5)
+    # a deliberately REVERSED order must change the blend (the rank row is
+    # actually driving the merge, not being ignored)
+    rev = jnp.asarray(np.asarray(order)[::-1].copy())
+    out_rev = render_3dgs(prepared, cam, bcfg, host_order=rev)
+    assert float(jnp.abs(out_rev.image - out_dev.image).max()) > 1e-3

@@ -206,6 +206,53 @@ def cap_vector(caps: tuple) -> jnp.ndarray:
                        jnp.int32)
 
 
+def required_window_caps(bucket_starts: jax.Array,
+                         spec: BucketGridSpec) -> jax.Array:
+    """(4,) i32 per-class capacity requirement: the max over tiles of
+    span length + DMA-alignment head (``start % 128`` — the kernel rounds
+    each span's DMA start down to a 128 multiple and masks the head, so the
+    head counts against capacity). Independent of any chosen caps — use it
+    to SIZE them (fit_caps)."""
+    spans = window_span_table(spec)
+    starts = bucket_starts[spans[:, :, 0]]
+    need = bucket_starts[spans[:, :, 1]] - starts + starts % 128
+    return jnp.stack([need[:, 0].max(), need[:, 1:3].max(),
+                      need[:, 3:5].max(), need[:, 5].max()])
+
+
+def measure_required_caps(proj: ProjectedSplats,
+                          spec: BucketGridSpec) -> jax.Array:
+    """(4,) i32 requirement for one projected frame, without carrying the
+    binning's payload rows: bucket occupancy only needs the sorted slot ids.
+
+    Histogram via sort + searchsorted, NOT jnp.bincount: XLA lowers bincount
+    to a serialized scatter-add (4M sequential updates on TPU — observed
+    stalling the measurement for tens of minutes), while a single-key i32
+    sort is milliseconds."""
+    slots = jnp.sort(assign_buckets(proj, spec).reshape(-1))
+    starts = jnp.searchsorted(
+        slots, jnp.arange(spec.num_buckets + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
+    return required_window_caps(starts, spec)
+
+
+def fit_caps(required, margin: float = 1.25) -> tuple:
+    """Static per-class caps from measured requirements (host-side).
+
+    Each cap is the smallest power of two >= margin * required (>= 128):
+    powers of two keep every span a merge-tree run (raster_bucket
+    _merge_caps_ok), x128 satisfies the HBM slice tiling, and the margin is
+    the headroom the round-3 bench lacked (fine spans measured 495-516
+    against a 512 cap — one boundary frame killed the whole artifact)."""
+    caps = []
+    for r in required:
+        c = 128
+        while c < float(r) * margin:
+            c *= 2
+        caps.append(c)
+    return tuple(caps)
+
+
 def window_overflow(bucket_starts: jax.Array, spec: BucketGridSpec,
                     caps: tuple) -> jax.Array:
     """True if any tile's window span exceeds its class cap (coverage
@@ -214,10 +261,8 @@ def window_overflow(bucket_starts: jax.Array, spec: BucketGridSpec,
     The kernel rounds each span's DMA start down to a 128 multiple and masks
     the head lanes, so a span effectively holds cap - (start % 128) live
     candidates."""
-    spans = window_span_table(spec)
-    starts = bucket_starts[spans[:, :, 0]]
-    lens = bucket_starts[spans[:, :, 1]] - starts
-    return jnp.any(lens + starts % 128 > cap_vector(caps)[None, :])
+    return jnp.any(required_window_caps(bucket_starts, spec)
+                   > jnp.asarray(caps, jnp.int32))
 
 
 def _bucket_impl(proj, attr_rows, *, spec: BucketGridSpec, caps: tuple,

@@ -438,7 +438,10 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                     neg = neg | ((lane >= offs[i]) & (lane < lo)
                                  & (n_eff > 0))
                     n_head = n_head + jnp.where(n_eff > 0, head, 0)
-            depth_vals = depth_fn(work[t]).reshape(1, c_sort)
+            # key_is_row: the key row already rides the attrs (host rank) —
+            # only dead lanes get overwritten
+            depth_vals = (work[t, key_row:key_row + 1, :] if st.key_is_row
+                          else depth_fn(work[t]).reshape(1, c_sort))
             dead = (jnp.where(neg, -DEAD_KEY, DEAD_KEY) if merge_ok
                     else DEAD_KEY)
             work[t, key_row:key_row + 1, :] = jnp.where(live, depth_vals,
@@ -726,7 +729,8 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                 n_head = n_head + jnp.where(n_eff > 0, head, 0)
         if not merge_ok:
             n_head = jnp.int32(0)
-        depth_vals = depth_fn(work[:, :]).reshape(1, c_sort)
+        depth_vals = (work[key_row:key_row + 1, :] if st.key_is_row
+                      else depth_fn(work[:, :]).reshape(1, c_sort))
         dead = (jnp.where(neg, -DEAD_KEY, DEAD_KEY) if merge_ok
                 else DEAD_KEY)
         work[key_row:key_row + 1, :] = jnp.where(live, depth_vals, dead)

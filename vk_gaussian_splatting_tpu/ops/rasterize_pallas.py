@@ -101,6 +101,10 @@ class RasterStatics:
     stochastic: bool = False       # STOCHASTIC_SPLAT (frag.slang:265-290)
     multi_iso: bool = False        # 4 depth picks -> deep shadow map rows 4-7
     iso_thresholds: tuple = (0.75, 0.5, 0.25, 0.05)
+    key_is_row: bool = False       # bucket kernel: the KEY_ROW of the attrs
+                                   # already carries the sort key (e.g. the
+                                   # CPU sorter's rank, SortMethod.HOST) —
+                                   # use it instead of the model depth
     interpret: bool = False
 
 

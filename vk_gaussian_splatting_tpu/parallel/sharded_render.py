@@ -59,6 +59,28 @@ def _band_rows(cfg: RenderConfig, n_bands: int) -> int:
     return -(-tiles_y(cfg) // n_bands)
 
 
+def _band_raster(shifted: ProjectedSplats, rows, local_cfg: RenderConfig,
+                 st, max_pairs: int, pix_ctx=None, depth_override=None):
+    """Blend one band (an ordinary short image) via the configured method.
+
+    method="bucket" routes through the flagship bucket-grid kernel — the
+    band gets its own band-local BucketGridSpec (VERDICT r03 next #3);
+    method="pairs" keeps the round-1 pair schedule. Returns
+    (img, trans, overflow)."""
+    h_local = st.tiles_y * local_cfg.raster.tile_size
+    if local_cfg.raster.method == "bucket":
+        from vk_gaussian_splatting_tpu.render.pipelines import _render_bucket
+        o = _render_bucket(shifted, rows, local_cfg, st,
+                           depth_override=depth_override, pix_ctx=pix_ctx)
+        return o.image, o.transmittance, o.overflow
+    bins = bin_for_cfg(shifted, rows, local_cfg, max_pairs, depth_override)
+    out = rasterize_bins(bins, pix_ctx, None, st)
+    img, trans = assemble_image(out, bins.seg_counts, st.tiles_x, st.tiles_y,
+                                local_cfg.width, h_local,
+                                local_cfg.background)
+    return img, trans, bins.overflow
+
+
 def _render_band(proj: ProjectedSplats, cfg: RenderConfig, max_pairs: int,
                  band: int, n_bands: int, interpret: bool | None):
     """Rasterize one horizontal band of tile rows against full projected splats."""
@@ -69,13 +91,9 @@ def _render_band(proj: ProjectedSplats, cfg: RenderConfig, max_pairs: int,
     shifted = dataclasses.replace(
         proj, xy=proj.xy - jnp.stack([jnp.zeros((), jnp.float32), y_off]))
     local_cfg = cfg.replace(height=ty_local * cfg.raster.tile_size)
-    bins = bin_for_cfg(shifted, gs_attr_rows(shifted), local_cfg, max_pairs)
     st = dataclasses.replace(raster_statics(cfg, interpret), tiles_y=ty_local)
-    out = rasterize_bins(bins, None, None, st)
-    h_local = ty_local * cfg.raster.tile_size
-    img, trans = assemble_image(out, bins.seg_counts, st.tiles_x, ty_local,
-                                cfg.width, h_local, cfg.background)
-    return img, trans
+    return _band_raster(shifted, gs_attr_rows(shifted), local_cfg, st,
+                        max_pairs)
 
 
 def _gather_proj(proj: ProjectedSplats, axis: str) -> ProjectedSplats:
@@ -88,7 +106,9 @@ def render_3dgs_sharded(splats: SplatSet, cam: Camera, cfg: RenderConfig,
                         max_pairs: int, mesh: Mesh,
                         interpret: bool | None = None):
     """Forward render with splats sharded over the mesh and the image sharded
-    over horizontal bands. Returns (H, W, 3) image (band-sharded)."""
+    over horizontal bands. Returns (image, transmittance, overflow): the
+    band-sharded (H, W, 3) image plus the OR of all bands' coverage-overflow
+    flags (bucket method; always False for pairs with exact expansion)."""
     axis = mesh.axis_names[0]
     nd = mesh.shape[axis]
 
@@ -97,18 +117,19 @@ def render_3dgs_sharded(splats: SplatSet, cam: Camera, cfg: RenderConfig,
         proj = project_splats(prepared, cam, cfg)
         proj = _gather_proj(proj, axis)
         band = jax.lax.axis_index(axis)
-        img, trans = _render_band(proj, cfg, max_pairs, band, nd, interpret)
-        return img, trans
+        img, trans, ov = _render_band(proj, cfg, max_pairs, band, nd,
+                                      interpret)
+        return img, trans, jax.lax.psum(ov.astype(jnp.int32), axis) > 0
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(axis), P()),
-        out_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P()),
         check_vma=False,  # pallas_call outputs carry no vma info
     )
-    img, trans = fn(splats, cam)
+    img, trans, overflow = fn(splats, cam)
     # crop band padding (last band may extend past the image)
-    return img[:cfg.height], trans[:cfg.height]
+    return img[:cfg.height], trans[:cfg.height], overflow
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_pairs", "mesh", "interpret"))
@@ -120,7 +141,10 @@ def render_3dgut_sharded(splats: SplatSet, cam: Camera, cfg: RenderConfig,
     sub-viewport (cy shifted — the pixel context never crosses bands).
     Global shutter only (rolling shutter needs global scan coordinates)."""
     from vk_gaussian_splatting_tpu.ops.projection import ut_project_splats
-    from vk_gaussian_splatting_tpu.render.pipelines import gut_attr_rows
+    from vk_gaussian_splatting_tpu.render.pipelines import (
+        _gut_statics,
+        gut_attr_rows,
+    )
     from vk_gaussian_splatting_tpu.render.rays import build_tile_rays
 
     axis = mesh.axis_names[0]
@@ -146,25 +170,23 @@ def render_3dgut_sharded(splats: SplatSet, cam: Camera, cfg: RenderConfig,
             proj, xy=proj.xy - jnp.stack([jnp.zeros((), jnp.float32), y_off]))
         local_cfg = cfg.replace(height=h_local)
         band_cam = dataclasses.replace(cam, cy=cam.cy - y_off)
-        bins = bin_for_cfg(shifted, rows, local_cfg, max_pairs)
-        st = dataclasses.replace(
-            raster_statics(cfg, interpret), tiles_y=ty_local, model="gut3d",
-            kernel_degree=cfg.rt.kernel_degree)
+        st = _gut_statics(
+            dataclasses.replace(raster_statics(cfg, interpret),
+                                tiles_y=ty_local),
+            cfg, packed=False)
         pix_ctx = build_tile_rays(band_cam, local_cfg)
-        out = rasterize_bins(bins, pix_ctx, None, st)
-        img, trans = assemble_image(out, bins.seg_counts, st.tiles_x,
-                                    ty_local, cfg.width, h_local,
-                                    cfg.background)
-        return img, trans
+        img, trans, ov = _band_raster(shifted, rows, local_cfg, st,
+                                      max_pairs, pix_ctx=pix_ctx)
+        return img, trans, jax.lax.psum(ov.astype(jnp.int32), axis) > 0
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(axis), P()),
-        out_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P()),
         check_vma=False,
     )
-    img, trans = fn(splats, cam)
-    return img[:cfg.height], trans[:cfg.height]
+    img, trans, overflow = fn(splats, cam)
+    return img[:cfg.height], trans[:cfg.height], overflow
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_pairs", "mesh", "interpret"))
@@ -174,7 +196,7 @@ def render_3dgrt_sharded(splats: SplatSet, cam: Camera, cfg: RenderConfig,
     """3DGRT primary rays over the mesh: splat-sharded UT projection +
     band-sharded exact-ray blending in shared-origin RADIAL order (the
     per-ray-t order of rgen:615-818 for primaries — see render_3dgrt).
-    Returns (image, transmittance) cropped to cfg.height."""
+    Returns (image, transmittance, overflow) cropped to cfg.height."""
     from vk_gaussian_splatting_tpu.ops.projection import ut_project_splats
     from vk_gaussian_splatting_tpu.render.pipelines import (
         _gut_statics,
@@ -205,8 +227,6 @@ def render_3dgrt_sharded(splats: SplatSet, cam: Camera, cfg: RenderConfig,
             proj, xy=proj.xy - jnp.stack([jnp.zeros((), jnp.float32), y_off]))
         local_cfg = cfg.replace(height=h_local)
         band_cam = dataclasses.replace(cam, cy=cam.cy - y_off)
-        bins = bin_for_cfg(shifted, rows, local_cfg, max_pairs,
-                           depth_override=radial_g)
         st = _gut_statics(
             dataclasses.replace(raster_statics(cfg, interpret),
                                 tiles_y=ty_local),
@@ -214,20 +234,19 @@ def render_3dgrt_sharded(splats: SplatSet, cam: Camera, cfg: RenderConfig,
             alpha_clamp=cfg.rt.alpha_clamp,
             min_transmittance=cfg.rt.min_transmittance)
         pix_ctx = build_tile_rays(band_cam, local_cfg)
-        out = rasterize_bins(bins, pix_ctx, None, st)
-        img, trans = assemble_image(out, bins.seg_counts, st.tiles_x,
-                                    ty_local, cfg.width, h_local,
-                                    cfg.background)
-        return img, trans
+        img, trans, ov = _band_raster(shifted, rows, local_cfg, st,
+                                      max_pairs, pix_ctx=pix_ctx,
+                                      depth_override=radial_g)
+        return img, trans, jax.lax.psum(ov.astype(jnp.int32), axis) > 0
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(axis), P()),
-        out_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P()),
         check_vma=False,
     )
-    img, trans = fn(splats, cam)
-    return img[:cfg.height], trans[:cfg.height]
+    img, trans, overflow = fn(splats, cam)
+    return img[:cfg.height], trans[:cfg.height], overflow
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_pairs", "mesh", "interpret"))
@@ -247,7 +266,7 @@ def train_step_sharded(splats: SplatSet, cam: Camera, target: jax.Array,
         proj = project_splats(prepared, cam, cfg)
         proj = _gather_proj(proj, axis)
         band = jax.lax.axis_index(axis)
-        img, _ = _render_band(proj, cfg, max_pairs, band, nd, interpret)
+        img, _, _ = _render_band(proj, cfg, max_pairs, band, nd, interpret)
         return jax.lax.psum(jnp.sum((img - target_local) ** 2), axis)
 
     loss_fn = jax.shard_map(

@@ -104,13 +104,46 @@ def render_normal_buffer(prepared: PreparedSplats, proj, cam: Camera,
 
 @dataclasses.dataclass(frozen=True)
 class DeferredMaterial:
-    """Per-scene shading material (SplatSetDesc.material analog)."""
+    """Per-set shading material (SplatSetDesc.material analog)."""
 
     diffuse: tuple = (1.0, 1.0, 1.0)
     ambient: tuple = (0.1, 0.1, 0.1)
     specular: tuple = (0.0, 0.0, 0.0)
     shininess: float = 32.0
     emission: tuple = (0.0, 0.0, 0.0)
+
+
+def instance_index_image(splat_id_img: jax.Array,
+                         instance_base) -> jax.Array:
+    """(H,W) i32 instance index per pixel from the picked global splat id
+    and the global index table's instance bases — the TPU analog of the
+    shader's global-index-table material lookup
+    (deferred_shading.comp.slang:107-124). Pixels with no pick get 0 (they
+    are masked by `covered` downstream)."""
+    bases = jnp.asarray(instance_base, jnp.int32)
+    sid = jnp.maximum(splat_id_img, 0)
+    return jnp.clip(jnp.searchsorted(bases, sid, side="right") - 1,
+                    0, bases.shape[0] - 2).astype(jnp.int32)
+
+
+def _material_fields(material, set_index_img):
+    """Resolve (diffuse, ambient, specular, shininess, emission) as either
+    broadcastable constants (single material) or per-pixel gathers from the
+    per-set material array (material = tuple of DeferredMaterial +
+    set_index_img)."""
+    if isinstance(material, DeferredMaterial):
+        return (jnp.asarray(material.diffuse), jnp.asarray(material.ambient),
+                jnp.asarray(material.specular, jnp.float32),
+                material.shininess, jnp.asarray(material.emission))
+    mats = tuple(material)
+    if set_index_img is None:
+        raise ValueError("per-set materials need set_index_img "
+                         "(instance_index_image of the splat_id pick)")
+    stack = lambda f: jnp.asarray([getattr(m, f) for m in mats], jnp.float32)
+    idx = jnp.clip(set_index_img, 0, len(mats) - 1)
+    return (stack("diffuse")[idx], stack("ambient")[idx],
+            stack("specular")[idx], stack("shininess")[idx],
+            stack("emission")[idx])
 
 
 def deferred_shade(
@@ -121,11 +154,16 @@ def deferred_shade(
     cam: Camera,
     cfg: RenderConfig,
     lights: list[LightSource] | None = None,
-    material: DeferredMaterial = DeferredMaterial(),
+    material: DeferredMaterial | tuple = DeferredMaterial(),
     shadow_fn=None,
+    set_index_img: jax.Array | None = None,
 ) -> jax.Array:
     """Fullscreen lighting pass (deferred_shading.comp.slang:53-160).
 
+    material: one DeferredMaterial, or a tuple of them (one per instance)
+    together with set_index_img (H,W) i32 — the per-set material lookup of
+    deferred_shading.comp.slang:107-124 (use instance_index_image to build
+    the index from the splat_id pick).
     shadow_fn: optional callable (world_pos (H,W,3), light) -> (H,W)
     transmittance toward the light (1 = unshadowed); used by the hybrid
     pipelines for ray-traced shadows.
@@ -150,10 +188,11 @@ def deferred_shade(
         jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-12)
 
     base = image
-    mat_diffuse = base * jnp.asarray(material.diffuse)
-    mat_ambient = base * jnp.asarray(material.ambient)
-    mat_specular = jnp.asarray(material.specular, jnp.float32)
-    emission = base * jnp.asarray(material.emission)
+    m_diffuse, m_ambient, m_specular, m_shininess, m_emission = \
+        _material_fields(material, set_index_img)
+    mat_diffuse = base * m_diffuse
+    mat_ambient = base * m_ambient
+    emission = base * m_emission
 
     if not lights:
         lights = [headlight(cam.position)]
@@ -164,7 +203,7 @@ def deferred_shade(
                     else jnp.ones_like(depth_img))
         diffuse = mat_diffuse * compute_light(light, world_pos, normal)
         l_vec, _ = light_direction_to(light, world_pos)
-        spec = compute_specular(mat_specular, material.shininess, view_dir,
+        spec = compute_specular(m_specular, m_shininess, view_dir,
                                 l_vec, normal)
         color = color + shadow_t[..., None] * (
             diffuse + spec * light.color * light.intensity)
