@@ -72,6 +72,37 @@ def make_scene(n_splats: int):
     return dc.replace(small, **fields).prepare()
 
 
+def make_golden_tiled(n_splats: int):
+    """~n_splats scene built by grid-replicating the CHECKED-IN trained
+    corpus (assets/golden — scripts/make_golden_scene.py): local screen
+    statistics come from an actual optimization run, not random_splats
+    (VERDICT r03 missing #3). Returns (prepared, camera_eye, look_at)."""
+    import dataclasses as dc
+    import os
+
+    from vk_gaussian_splatting_tpu.io.ply import load_ply
+
+    base = load_ply(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "assets", "golden", "golden_scene.ply"))
+    n0 = base.means.shape[0]
+    reps = max(1, round((n_splats / n0) ** 0.5))
+    spacing = 7.5
+    offs = []
+    for i in range(reps):
+        for j in range(reps):
+            offs.append([(i - (reps - 1) / 2) * spacing, 0.0,
+                         (j - (reps - 1) / 2) * spacing])
+    offs = jnp.asarray(offs, jnp.float32)               # (R^2, 3)
+    means = (base.means[None, :, :] + offs[:, None, :]).reshape(-1, 3)
+    tile = lambda x: jnp.tile(x, (reps * reps,) + (1,) * (x.ndim - 1))
+    scene = dc.replace(
+        base, means=means, scales=tile(base.scales), quats=tile(base.quats),
+        opacities=tile(base.opacities), sh_dc=tile(base.sh_dc),
+        sh_rest=tile(base.sh_rest))
+    eye = [0.0, -0.55 * reps * spacing, -0.8 * reps * spacing]
+    return scene.prepare(), eye, [0.0, 0.5, 0.0]
+
+
 FRAMES = 8  # frames per dispatch: the tunneled runtime costs ~44 ms per
             # host round-trip, so per-frame time is measured over an
             # on-device lax.scan of FRAMES slightly-perturbed cameras
@@ -237,6 +268,23 @@ def main():
                 extra[name + "_overflow"] = bool(one(prepared, cam)[1])
             except Exception as e:  # noqa: BLE001 — record, don't die
                 extra[name + "_ms"] = f"error:{type(e).__name__}"
+
+        # trained-statistics scene: grid-replicated golden corpus
+        if time.perf_counter() - t_start <= budget_s:
+            try:
+                g_prep, g_eye, g_at = make_golden_tiled(n_splats)
+                g_cam = look_at(g_eye, g_at, [0, 1, 0], base_cfg.width,
+                                base_cfg.height, fov_y_rad=0.9)
+                g_caps, g_req = derive_caps(g_prep, g_cam, base_cfg)
+                g_cfg = cfg_with(g_caps)
+                g_fwd = scan_pipe(render_3dgs, g_cfg)
+                extra["golden_fwd_ms"] = round(
+                    time_fn(g_fwd, g_prep, g_cam, iters=2, warmup=1) * 1e3, 3)
+                extra["golden_overflow"] = bool(g_fwd(g_prep, g_cam)[1])
+                extra["golden_caps"] = list(g_caps)
+                extra["golden_n_splats"] = int(g_prep.means.shape[0])
+            except Exception as e:  # noqa: BLE001
+                extra["golden_fwd_ms"] = f"error:{type(e).__name__}"
 
     print(json.dumps({
         "metric": "3dgs_raster_fwd_1080p_1M_splats",

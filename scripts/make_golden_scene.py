@@ -20,15 +20,18 @@ Run ON CHIP (background, no timeout): CPU interpret training is ~50x slower.
     PYTHONPATH="/root/repo:$PYTHONPATH" python scripts/make_golden_scene.py
 """
 
-import dataclasses
 import json
 import os
 import sys
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 sys.path.insert(0, "/root/repo")
 from vk_gaussian_splatting_tpu.config import RenderConfig  # noqa: E402

@@ -42,7 +42,19 @@ def log(msg):
     print(f"[{time.time() - T0:6.1f}s] {msg}", flush=True)
 
 
-def bucket_cfg(cfg, caps=(512, 256, 256, 128)):
+def bucket_cfg(cfg, caps=None, prepared=None, cam=None):
+    """Bucket config; caps auto-derived from measured span occupancy (the
+    production flow — hardcoded caps rotted when the scene statistics
+    moved and killed a smoke run on a legitimate overflow)."""
+    if caps is None:
+        from vk_gaussian_splatting_tpu.ops.bucket_grid import (
+            BucketGridSpec, fit_caps, measure_required_caps)
+        from vk_gaussian_splatting_tpu.ops.projection import project_splats
+        spec = BucketGridSpec.build(cfg.width // 16, cfg.height // 16)
+        req = jax.jit(lambda p, c: measure_required_caps(
+            project_splats(p, c, cfg), spec))(prepared, cam)
+        caps = fit_caps([int(x) for x in jax.device_get(req)])
+        log(f"derived smoke caps: {caps}")
     return cfg.replace(raster=dataclasses.replace(
         cfg.raster, method="bucket", bucket_caps=caps))
 
@@ -53,8 +65,10 @@ def main():
     log(f"device: {dev}")
 
     # ---- 1. AOT-compile the flagship 1080p program for the real target ----
+    # non-pow2 x128 caps: the shape class fit_caps now emits (sum-of-two-
+    # pow2 run decomposition) — AOT-compiling it is the Mosaic check
     cfg_big = bucket_cfg(RenderConfig(width=1920, height=1080, sh_degree=3),
-                         caps=(1024, 256, 512, 256))
+                         caps=(768, 384, 640, 256))
     splats_big = random_splats(jax.random.key(0), 100_000, sh_degree=3,
                                scale_range=(-5.0, -3.0))
     cam_big = look_at([0, 0, -7], [0, 0, 0], [0, 1, 0], cfg_big.width,
@@ -73,12 +87,12 @@ def main():
 
     # ---- 2. small on-chip render + gradient vs the pair-kernel oracle ----
     cfg = RenderConfig(width=256, height=192, sh_degree=1)
-    bcfg = bucket_cfg(cfg)
     splats = random_splats(jax.random.key(3), 3000, sh_degree=1,
                            scale_range=(-4.0, -2.0))
     prepared = splats.prepare()
     cam = look_at([0.4, -0.7, -8], [0, 0, 0], [0, 1, 0], cfg.width,
                   cfg.height, fov_y_rad=0.9)
+    bcfg = bucket_cfg(cfg, prepared=prepared, cam=cam)
 
     out_b = render_3dgs(prepared, cam, bcfg)
     out_p = render_3dgs(prepared, cam, cfg, max_pairs=1 << 18)

@@ -27,11 +27,10 @@ expansion with a class-pyramid binning whose sort stays O(N):
 ONE ``lax.sort`` of the 4N slot rows by (bucket, view depth) carries the
 render attribute rows as payloads; per-bucket segments are depth-sorted runs.
 The tile kernel (ops/raster_bucket.py) DMAs, per tile, its 6 single-bucket
-spans (fine + 2 mid pairs + 2 coarse pairs + global) and merges the sorted
-runs into depth order in VMEM — a Batcher odd-even merge tree when every
-cap is a power of two (43 stages at the default (512, 256, 512, 128) =
-2176 lanes vs a 78-stage full bitonic at its 4096 pow2 pad), the exact
-full bitonic sort otherwise — then blends front-to-back.
+spans (fine + 2 mid pairs + 2 coarse pairs + global), each decomposed into
+pow2 chunks so ANY x128 cap stays on the Batcher odd-even merge tree
+(raster_bucket._decompose), merges the sorted runs into depth order in
+VMEM, then blends front-to-back.
 
 Per-span capacity is static (VMEM sizing); spans that exceed their cap
 truncate their depth tail and raise ``overflow`` — same contract as the
@@ -94,9 +93,17 @@ class BucketGridSpec:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class BucketBins:
-    """Depth-sorted per-bucket splat attribute segments (4N slot rows)."""
+    """Depth-sorted per-bucket splat attribute segments (4N slot rows).
 
-    attrs: jax.Array          # (R, 4N_pad) rows in (bucket, depth) order
+    attrs is BLOCK-TILED: (4N_pad/128, R, 128) — lane-block-major so a
+    128-aligned span slice is ONE contiguous HBM region. The row-major
+    (R, 4N_pad) layout made every span DMA 16 strided 2-4 KB reads
+    (row stride = the whole array width); measured on chip, that left the
+    tile kernel ~92% DMA-bound (254 of 277 ms with merge AND blend
+    disabled). Column i of logical row r lives at
+    attrs[i // 128, r, i % 128]."""
+
+    attrs: jax.Array          # (4N_pad/128, R, 128) in (bucket, depth) order
     bucket_starts: jax.Array  # (num_buckets + 1,) i32 segment starts
     num_valid: jax.Array      # () i32 live slot rows
     overflow: jax.Array       # () bool — some tile window exceeds its cap
@@ -239,17 +246,20 @@ def measure_required_caps(proj: ProjectedSplats,
 def fit_caps(required, margin: float = 1.25) -> tuple:
     """Static per-class caps from measured requirements (host-side).
 
-    Each cap is the smallest power of two >= margin * required (>= 128):
-    powers of two keep every span a merge-tree run (raster_bucket
-    _merge_caps_ok), x128 satisfies the HBM slice tiling, and the margin is
-    the headroom the round-3 bench lacked (fine spans measured 495-516
-    against a 512 cap — one boundary frame killed the whole artifact)."""
+    Each cap is the smallest x128 multiple whose 128-unit count has at most
+    TWO set bits and that is >= margin * required (>= 128): such a cap
+    decomposes into <=2 pow2 merge runs (raster_bucket._decompose), keeping
+    the odd-even merge tree while wasting far fewer lanes than pow2
+    rounding (e.g. required 434 -> 640 = 512+256... = 512+128, not 1024).
+    The margin is the headroom the round-3 bench lacked (fine spans
+    measured 495-516 against a 512 cap — one boundary frame killed the
+    whole artifact)."""
     caps = []
     for r in required:
-        c = 128
-        while c < float(r) * margin:
-            c *= 2
-        caps.append(c)
+        u = max(1, -(-int(float(r) * margin) // 128))
+        while bin(u).count("1") > 2:
+            u += 1
+        caps.append(128 * u)
     return tuple(caps)
 
 
@@ -288,6 +298,8 @@ def _bucket_impl(proj, attr_rows, *, spec: BucketGridSpec, caps: tuple,
         parts.append(jnp.zeros((pad_rows_to - r, n4), jnp.float32))
     attrs = jnp.concatenate(parts, axis=0)
     attrs = jnp.pad(attrs, ((0, 0), (0, p_total - n4)))
+    # block-tile for contiguous span DMAs (see BucketBins docstring)
+    attrs = attrs.reshape(pad_rows_to, p_total // 128, 128).transpose(1, 0, 2)
 
     bucket_starts = jnp.searchsorted(
         b_s, jnp.arange(spec.num_buckets + 1, dtype=jnp.int32),

@@ -11,10 +11,13 @@ Companion to ops/bucket_grid.py: instead of blending a pre-sorted pair list
    alignment-head lanes (so each span stays one ascending run), +inf for
    tail/pad lanes;
 3. EXACT in-VMEM ordering by the key row — a Batcher odd-even MERGE tree
-   over the presorted bucket runs when every cap is a power of two (43
-   stages at the default caps vs the 78-stage full bitonic at the pow2
-   pad; _merge_plan), the full bitonic sort otherwise. Compare-exchange
-   moves full f32 rows (pltpu.roll + select), so payloads are bit-exact;
+   over the presorted bucket runs (_merge_plan). Any x128 cap qualifies:
+   each span decomposes into pow2 chunks (_decompose; 768 = 512+256),
+   themselves sorted runs with their own DMAs, so caps can track measured
+   occupancy tightly instead of rounding to the next power of two. The
+   full bitonic sort remains only as an A/B fallback (VKGS_FORCE_BITONIC).
+   Compare-exchange moves full f32 rows (pltpu.roll + select), so
+   payloads are bit-exact;
 4. front-to-back chunked blend — the same math as the pair kernel (alpha
    closure per response model, log-shift exclusive transmittance scan, MXU
    color contraction, iso-threshold depth/id picks), with early termination
@@ -93,7 +96,13 @@ TPT = 2          # tiles per grid step (compiled): their bitonic stages
 def _tpt(st) -> int:
     # interpret mode (CPU tests) gets TPT=1: the interleaved program is 2x
     # the ops for zero benefit off-chip, and the CPU XLA compiler has
-    # aborted under the cumulative load of the big interpreted kernels
+    # aborted under the cumulative load of the big interpreted kernels.
+    # VKGS_TPT overrides both modes — lets CPU interpret exercise the
+    # chip's TPT=2 program (the two paths are otherwise never co-tested).
+    import os
+    ov = os.environ.get("VKGS_TPT")
+    if ov:
+        return int(ov)
     return 1 if st.interpret else TPT
 
 # the key row must be exchanged together with the payload, so it lives inside
@@ -118,28 +127,62 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-def _span_offsets(caps: tuple):
-    """Static candidate-buffer layout: span i occupies [off[i], off[i]+cap_i).
+def _span_sizes(caps: tuple):
+    """Per-span capacities: [fine, mid x2, coarse x2, global]."""
+    return [caps[0]] + [caps[1]] * 2 + [caps[2]] * 2 + [caps[3]]
 
-    caps = (fine, mid_row, coarse_row, global); spans are [fine, mid x2,
-    coarse x2, global]. Caps must be multiples of 128 (HBM slice tiling).
-    On the merge path the buffer layout follows the merge plan's
-    largest-first span order; otherwise spans lay out sequentially."""
+
+def _decompose(size: int):
+    """Binary decomposition of a x128 size into descending pow2 chunks
+    [(offset_in_span, chunk_size)]. A span of e.g. 768 becomes runs
+    512+256: the chunks of one depth-sorted bucket run are themselves
+    sorted runs, so the merge tree treats them as independent initial runs
+    — non-pow2 caps keep the odd-even merge path instead of falling back
+    to the full bitonic (and instead of rounding 543 -> 1024, the round-4
+    bench regression: pow2-fitted caps nearly doubled the lane count)."""
+    out, off = [], 0
+    u = size // 128
+    for b in reversed(range(u.bit_length())):
+        c = (1 << b) * 128
+        if u & (1 << b):
+            out.append((off, c))
+            off += c
+    return out
+
+
+def _span_runs(caps: tuple):
+    """[(span_idx, src_off, size)] pow2 run decomposition of all 6 spans."""
+    rr = []
+    for i, s in enumerate(_span_sizes(caps)):
+        for off, c in _decompose(s):
+            rr.append((i, off, c))
+    return rr
+
+
+def _span_offsets(caps: tuple):
+    """Static candidate-buffer layout as (runs, buf_offs, c_total).
+
+    runs[j] = (span_idx, src_off_in_span, size) — each a pow2 chunk of one
+    span's depth-sorted bucket segment, DMA'd separately from
+    HBM[a + src_off : a + src_off + size] (a = the span's 128-aligned
+    start). buf_offs[j] is the run's lane offset: the merge plan lays runs
+    out largest-first so the binary-counter merge keeps every merge's
+    halves adjacent. Caps must be multiples of 128 (HBM slice tiling)."""
     assert all(c % 128 == 0 for c in caps), "bucket caps must be x128"
-    sizes = [caps[0]] + [caps[1]] * 2 + [caps[2]] * 2 + [caps[3]]
+    runs = _span_runs(caps)
     if _merge_caps_ok(caps):
         order, _stages, c_total = _merge_plan(caps)
-        offs = [0] * len(sizes)
+        offs = [0] * len(runs)
         o = 0
         for i in order:
             offs[i] = o
-            o += sizes[i]
-        return offs, sizes, o
+            o += runs[i][2]
+        return runs, offs, o
     offs, o = [], 0
-    for s in sizes:
+    for _s, _so, c in runs:
         offs.append(o)
-        o += s
-    return offs, sizes, o
+        o += c
+    return runs, offs, o
 
 
 def _tile_spans(spec: BucketGridSpec, bstarts_ref, tt):
@@ -171,51 +214,47 @@ def _tile_spans(spec: BucketGridSpec, bstarts_ref, tt):
 
 
 def _merge_caps_ok(caps: tuple) -> bool:
-    """True when every span size is a power of two (the global cap may be
-    any x128): the bucket runs are already depth-sorted by the binning, so
-    a Batcher odd-even MERGE tree (e.g. 38 stages for the default caps vs a
-    55+-stage full bitonic sort) orders the candidate buffer. Other cap
-    shapes fall back to the bitonic."""
-    f, m, _c, g = caps
-    sizes = [f] + [caps[1]] * 2 + [caps[2]] * 2
-    return g > 0 and all(s > 0 and (s & (s - 1)) == 0 for s in sizes)
+    """True when the OEM merge tree applies — any positive x128 caps: each
+    span decomposes into pow2 runs (_span_runs), themselves sorted, so the
+    Batcher odd-even MERGE tree always orders the candidate buffer. The
+    full-bitonic fallback remains only as an A/B escape hatch
+    (VKGS_FORCE_BITONIC=1)."""
+    import os
+    if os.environ.get("VKGS_FORCE_BITONIC"):
+        return False
+    return all(c > 0 and c % 128 == 0 for c in caps)
 
 
 def _merge_plan(caps: tuple):
-    """(span_order, stages, c_total) for the general OEM merge tree.
+    """(run_order, stages, c_total) for the general OEM merge tree over the
+    pow2 run decomposition (_span_runs).
 
-    Spans are laid out largest-first (binary-counter merging of equal pow2
-    regions keeps every merge's halves adjacent); the ragged global run
-    merges last, its second half extending past c_total into virtual +inf
-    lanes. stages = [(k, blocks)]; independent merges at the same tree
-    level share stages of equal k."""
-    sizes = [caps[0]] + [caps[1]] * 2 + [caps[2]] * 2 + [caps[3]]
-    gsz = sizes[-1]
-    ragged = gsz & (gsz - 1) != 0
-    order = sorted(range(len(sizes)),
-                   key=lambda i: (ragged and i == len(sizes) - 1,
-                                  -sizes[i], i))
+    Runs are laid out largest-first (binary-counter merging of equal pow2
+    regions keeps every merge's halves adjacent); trailing unequal regions
+    merge right-to-left, their second halves extending past c_total into
+    virtual +inf lanes. stages = [(k, blocks)]; independent merges at the
+    same tree level share stages of equal k."""
+    runs = _span_runs(caps)
+    order = sorted(range(len(runs)), key=lambda i: (-runs[i][2], i))
     offs = {}
     o = 0
     for i in order:
         offs[i] = o
-        o += sizes[i]
+        o += runs[i][2]
     c_total = o
 
     merges = []              # (base, n, level)
     stack = []               # (base, pow2_len, level) — strictly decreasing
-    for i in order[:-1] if ragged else order:
-        stack.append((offs[i], sizes[i], 0))
+    for i in order:
+        stack.append((offs[i], runs[i][2], 0))
         while len(stack) >= 2 and stack[-2][1] == stack[-1][1]:
             _b2, _l2, lev2 = stack.pop()
             b1, l1, lev1 = stack.pop()
             lev = max(lev1, lev2) + 1
             merges.append((b1, l1, lev))
             stack.append((b1, 2 * l1, lev))
-    if ragged:
-        stack.append((offs[order[-1]], gsz, 0))
-    # final ragged merges right-to-left (second halves end at the buffer,
-    # so their virtual +inf extension is safe)
+    # final unequal-region merges right-to-left (second halves end at the
+    # buffer, so their virtual +inf extension is safe)
     while len(stack) >= 2:
         _b2, _l2, lev2 = stack.pop()
         b1, l1, lev1 = stack.pop()
@@ -326,7 +365,7 @@ def _sort_width(caps: tuple) -> int:
     """Candidate-buffer lane count: the exact span total when the OEM merge
     tree applies (virtual +inf lanes replace physical pow2 padding), else
     the bitonic's next power of two."""
-    _offs, _sizes, c_total = _span_offsets(caps)
+    _runs, _offs, c_total = _span_offsets(caps)
     return c_total if _merge_caps_ok(caps) else _next_pow2(c_total)
 
 
@@ -340,19 +379,28 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
     color_fn = COLOR_FNS.get(st.model,
                              lambda blk: blk[ATTR_R:ATTR_B + 1, :])
     depth_fn = DEPTH_FNS.get(st.model, lambda blk: blk[drow:drow + 1, :])
-    offs, sizes, c_total = _span_offsets(caps)
+    runs, offs, c_total = _span_offsets(caps)
+    ssizes = _span_sizes(caps)
     merge_ok = _merge_caps_ok(caps)
     c_sort = c_total if merge_ok else _next_pow2(c_total)
     assert c_sort % st.chunk == 0, (c_sort, st.chunk)
     n_chunks = c_sort // st.chunk
+    c_blk = c_total // 128  # candidate blocks (block-tiled attrs layout)
 
-    def issue_dmas(attrs_ref, cand, sems, spans):
-        for i, (s, _ln) in enumerate(spans):
-            a = pl.multiple_of((s // 128) * 128, 128)
+    def issue_dmas(attrs_ref, cand2, base, sems, spans):
+        # attrs is block-tiled (NB, R, 128): each run is ONE contiguous
+        # HBM region (the row-major layout cost 16 strided reads per DMA
+        # and left the kernel DMA-bound — BucketBins docstring). The
+        # staging buffer is flat (2*TPT*c_blk, R, 128): a single dynamic
+        # leading-dim slice per DMA, the canonical Mosaic pattern (the 5D
+        # slot/tile-indexed form faulted the TPU worker).
+        for j, (sp, so, sz) in enumerate(runs):
+            s = spans[sp][0]
+            blk = s // 128 + so // 128
             pltpu.make_async_copy(
-                attrs_ref.at[:, pl.ds(a, sizes[i])],
-                cand.at[:, offs[i]:offs[i] + sizes[i]],
-                sems.at[i],
+                attrs_ref.at[pl.ds(blk, sz // 128)],
+                cand2.at[pl.ds(base + offs[j] // 128, sz // 128)],
+                sems.at[j],
             ).start()
 
     def kernel(seed_ref, bstarts_ref, attrs_ref, *rest):
@@ -373,7 +421,7 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
         @pl.when(j == 0)
         def _warmup():
             for t in range(TPT):
-                issue_dmas(attrs_ref, cand2.at[0, t], sems.at[0, t],
+                issue_dmas(attrs_ref, cand2, t * c_blk, sems.at[0, t],
                            spans_t[t])
 
         # prefetch the next step's tiles into the other buffer pair
@@ -383,16 +431,23 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
         def _prefetch():
             for t in range(TPT):
                 tid = jnp.minimum(nxt * TPT + t, n_tiles - 1)
-                issue_dmas(attrs_ref, cand2.at[1 - slot, t],
+                issue_dmas(attrs_ref, cand2,
+                           ((1 - slot) * TPT + t) * c_blk,
                            sems.at[1 - slot, t],
                            _tile_spans(spec, bstarts_ref, tid))
 
+        bases = [(slot * TPT + t) * c_blk for t in range(TPT)]
         for t in range(TPT):
-            for i in range(NUM_SPANS):
+            # NB: loop var must NOT be named j — that shadows the program
+            # id and silently corrupts every later j-use (reclaim/drain
+            # conditions, output indices); on chip the resulting unmatched
+            # semaphore waits crashed the TPU worker (interpret-mode
+            # semaphores are simulated, so CPU tests could not catch it)
+            for jr, (_sp, _so, sz) in enumerate(runs):
                 pltpu.make_async_copy(
-                    attrs_ref.at[:, pl.ds(0, sizes[i])],  # shape-only
-                    cand2.at[slot, t, :, offs[i]:offs[i] + sizes[i]],
-                    sems.at[slot, t, i],
+                    attrs_ref.at[pl.ds(0, sz // 128)],  # shape-only
+                    cand2.at[pl.ds(bases[t] + offs[jr] // 128, sz // 128)],
+                    sems.at[slot, t, jr],
                 ).wait()
 
         if uses_pix:
@@ -403,17 +458,19 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                 pc.start()
                 pcopies.append(pc)
 
-        # compute on statically-addressed copies (Mosaic vector ops cannot
+        # assemble the flat (r_buf, c_sort) work buffer from the block-tiled
+        # staging copies (statically-addressed: Mosaic vector ops cannot
         # read-modify-write through a dynamically indexed buffer slot)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, c_sort), 1)
         for t in range(TPT):
+            for b in range(c_blk):
+                work[t, :, b * 128:(b + 1) * 128] = cand2[bases[t] + b]
             if c_total < c_sort:
                 # lanes [c_total, c_sort) are never DMA'd: zero them so
                 # stale VMEM garbage (NaN/Inf bit patterns) cannot poison
                 # the blend through 0*NaN even with alpha masked to 0
-                work[t] = jnp.where(lane < c_total, cand2[slot, t], 0.0)
-            else:
-                work[t] = cand2[slot, t]
+                work[t, :, c_total:] = jnp.zeros(
+                    (r_buf, c_sort - c_total), jnp.float32)
 
         # ---- key rows --------------------------------------------------
         # live lanes carry the model depth. Dead lanes: +DEAD_KEY (sorts to
@@ -428,16 +485,28 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
             neg = jnp.zeros((1, c_sort), jnp.bool_)
             n_live = jnp.int32(0)
             n_head = jnp.int32(0)
+            heads, neffs = [], []
             for i, (s, ln) in enumerate(spans_t[t]):
                 head = s - (s // 128) * 128
-                n_eff = jnp.minimum(ln, sizes[i] - head)
-                lo = offs[i] + head
-                live = live | ((lane >= lo) & (lane < lo + n_eff))
+                n_eff = jnp.minimum(ln, ssizes[i] - head)
+                heads.append(head)
+                neffs.append(n_eff)
                 n_live = n_live + n_eff
                 if merge_ok:
-                    neg = neg | ((lane >= offs[i]) & (lane < lo)
-                                 & (n_eff > 0))
                     n_head = n_head + jnp.where(n_eff > 0, head, 0)
+            # distribute each span's live window [head, head+n_eff) and
+            # -inf head [0, head) over its pow2 runs (span-local coords;
+            # only run 0 can hold a head since head < 128 <= run sizes).
+            # Loop var jr, NOT j — see the wait loop's shadowing note.
+            for jr, (sp, so, sz) in enumerate(runs):
+                head, n_eff = heads[sp], neffs[sp]
+                lo = jnp.clip(head - so, 0, sz)
+                hi = jnp.clip(head + n_eff - so, 0, sz)
+                live = live | ((lane >= offs[jr] + lo)
+                               & (lane < offs[jr] + hi))
+                if merge_ok:
+                    neg = neg | ((lane >= offs[jr]) & (lane < offs[jr] + lo)
+                                 & (n_eff > 0))
             # key_is_row: the key row already rides the attrs (host rank) —
             # only dead lanes get overwritten
             depth_vals = (work[t, key_row:key_row + 1, :] if st.key_is_row
@@ -608,14 +677,17 @@ def _bucket_call(st: RasterStatics, caps: tuple, n_pad: int):
     n_steps = -(-num_tiles // TPT)
     uses_pix = USES_PIX_CTX[st.model]
     r_buf = buf_rows(st.model)
+    n_runs = len(_span_runs(caps))
     c_sort = _sort_width(caps)
+    _runs0, _offs0, c_total = _span_offsets(caps)
+    c_blk = c_total // 128
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
         pl.BlockSpec(memory_space=pltpu.SMEM),   # bucket starts
-        pl.BlockSpec(memory_space=pltpu.HBM),    # attrs
+        pl.BlockSpec(memory_space=pltpu.HBM),    # attrs (blocked)
     ]
     scratch = [
-        pltpu.VMEM((2, TPT, r_buf, c_sort), jnp.float32),  # cand x2 x TPT
+        pltpu.VMEM((2 * TPT * c_blk, r_buf, 128), jnp.float32),  # staging
         pltpu.VMEM((TPT, r_buf, c_sort), jnp.float32),     # work
         pltpu.VMEM((TPT, PIX, 3), jnp.float32),            # acc
         pltpu.VMEM((TPT, PIX, 1), jnp.float32),            # t_col
@@ -628,13 +700,13 @@ def _bucket_call(st: RasterStatics, caps: tuple, n_pad: int):
         scratch += [
             pltpu.VMEM((TPT, OUT_COLS, PIX), jnp.float32),  # pixraw
             pltpu.VMEM((TPT, PIX, OUT_COLS), jnp.float32),  # pixscr
-            pltpu.SemaphoreType.DMA((2, TPT, NUM_SPANS)),
+            pltpu.SemaphoreType.DMA((2, TPT, n_runs)),
             pltpu.SemaphoreType.DMA((2, TPT)),
             pltpu.SemaphoreType.DMA((TPT,)),
         ]
     else:
         scratch += [
-            pltpu.SemaphoreType.DMA((2, TPT, NUM_SPANS)),
+            pltpu.SemaphoreType.DMA((2, TPT, n_runs)),
             pltpu.SemaphoreType.DMA((2, TPT)),
         ]
     return pl.pallas_call(
@@ -669,7 +741,8 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
     r_buf = buf_rows(st.model)
     color_rows = (ATTR_R, ATTR_B)
     depth_fn = DEPTH_FNS.get(st.model, lambda blk: blk[drow:drow + 1, :])
-    offs, sizes, c_total = _span_offsets(caps)
+    runs, offs, c_total = _span_offsets(caps)
+    ssizes = _span_sizes(caps)
     merge_ok = _merge_caps_ok(caps)
     c_sort = c_total if merge_ok else _next_pow2(c_total)
     assert c_sort % st.chunk == 0, (c_sort, st.chunk)
@@ -682,51 +755,63 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
         if merge_ok:
             rest, takes = rest[:-1], rest[-1]  # last scratch: exchange log
         if uses_pix:
-            (pixctx_ref, dattrs_ref, work, dwork, rmw, t_col, s_run, ctx,
-             pixraw, pixscr, sems, dsem, csem, psem) = rest
+            (pixctx_ref, dattrs_ref, work, stage, dwork, rmw, t_col, s_run,
+             ctx, pixraw, pixscr, sems, dsem, csem, psem) = rest
         else:
-            (dattrs_ref, work, dwork, rmw, t_col, s_run, ctx, sems,
+            (dattrs_ref, work, stage, dwork, rmw, t_col, s_run, ctx, sems,
              dsem, csem) = rest
             pixscr = None
         j = pl.program_id(0)
         spans = _tile_spans(spec, bstarts_ref, j)
 
-        for i, (s, _ln) in enumerate(spans):
-            a = pl.multiple_of((s // 128) * 128, 128)
+        for jr, (sp, so, sz) in enumerate(runs):
+            s = spans[sp][0]
+            blk = s // 128 + so // 128
             pltpu.make_async_copy(
-                attrs_ref.at[:, pl.ds(a, sizes[i])],
-                work.at[:, offs[i]:offs[i] + sizes[i]],
-                sems.at[i],
+                attrs_ref.at[pl.ds(blk, sz // 128)],
+                stage.at[pl.ds(offs[jr] // 128, sz // 128)],
+                sems.at[jr],
             ).start()
         ccopy = pltpu.make_async_copy(ctx_hbm_ref.at[j], ctx, csem)
         ccopy.start()
         if uses_pix:
             pcopy = pltpu.make_async_copy(pixctx_ref.at[j], pixraw, psem)
             pcopy.start()
-        for i in range(len(spans)):
+        for jr, (_sp, _so, sz) in enumerate(runs):
             pltpu.make_async_copy(
-                attrs_ref.at[:, pl.ds(0, sizes[i])],
-                work.at[:, offs[i]:offs[i] + sizes[i]],
-                sems.at[i],
+                attrs_ref.at[pl.ds(0, sz // 128)],
+                stage.at[pl.ds(offs[jr] // 128, sz // 128)],
+                sems.at[jr],
             ).wait()
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, c_sort), 1)
+        for b in range(c_total // 128):
+            work[:, b * 128:(b + 1) * 128] = stage[b]
         if c_total < c_sort:
             # never-DMA'd lanes: zero stale VMEM garbage (see fwd kernel)
-            work[:, :] = jnp.where(lane < c_total, work[:, :], 0.0)
+            work[:, c_total:] = jnp.zeros((r_buf, c_sort - c_total),
+                                          jnp.float32)
         live = jnp.zeros((1, c_sort), jnp.bool_)
         neg = jnp.zeros((1, c_sort), jnp.bool_)
         n_live = jnp.int32(0)
         n_head = jnp.int32(0)
+        heads, neffs = [], []
         for i, (s, ln) in enumerate(spans):
             head = s - (s // 128) * 128
-            n_eff = jnp.minimum(ln, sizes[i] - head)
-            lo = offs[i] + head
-            live = live | ((lane >= lo) & (lane < lo + n_eff))
+            n_eff = jnp.minimum(ln, ssizes[i] - head)
+            heads.append(head)
+            neffs.append(n_eff)
             n_live = n_live + n_eff
             if merge_ok:
-                neg = neg | ((lane >= offs[i]) & (lane < lo) & (n_eff > 0))
                 n_head = n_head + jnp.where(n_eff > 0, head, 0)
+        for jr, (sp, so, sz) in enumerate(runs):
+            head, n_eff = heads[sp], neffs[sp]
+            lo = jnp.clip(head - so, 0, sz)
+            hi = jnp.clip(head + n_eff - so, 0, sz)
+            live = live | ((lane >= offs[jr] + lo) & (lane < offs[jr] + hi))
+            if merge_ok:
+                neg = neg | ((lane >= offs[jr]) & (lane < offs[jr] + lo)
+                             & (n_eff > 0))
         if not merge_ok:
             n_head = jnp.int32(0)
         depth_vals = (work[key_row:key_row + 1, :] if st.key_is_row
@@ -835,19 +920,24 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
             # depth cotangents are dropped (aux picks are not differentiated)
             dwork[drow:drow + 1, :] = jnp.zeros((1, c_sort), jnp.float32)
 
-        # span-by-span additive RMW into the global d_attrs (sequential, so
-        # overlapping 128-aligned windows accumulate correctly)
-        for i, (s, _ln) in enumerate(spans):
-            a = pl.multiple_of((s // 128) * 128, 128)
-            rslice = rmw.at[:, 0:sizes[i]]
+        # run-by-run additive RMW into the global d_attrs (sequential, so
+        # overlapping 128-aligned windows accumulate correctly; a span's
+        # runs are disjoint HBM slices; blocked layout => contiguous)
+        for jr, (sp, so, sz) in enumerate(runs):
+            s = spans[sp][0]
+            blk = s // 128 + so // 128
+            nb = sz // 128
+            rslice = rmw.at[pl.ds(0, nb)]
             rd = pltpu.make_async_copy(
-                dattrs_ref.at[:, pl.ds(a, sizes[i])], rslice, dsem)
+                dattrs_ref.at[pl.ds(blk, nb)], rslice, dsem)
             rd.start()
             rd.wait()
-            rmw[:, 0:sizes[i]] = (rmw[:, 0:sizes[i]]
-                                  + dwork[:, offs[i]:offs[i] + sizes[i]])
+            for b in range(nb):
+                rmw[b] = (rmw[b]
+                          + dwork[:, offs[jr] + b * 128:
+                                  offs[jr] + (b + 1) * 128])
             wr = pltpu.make_async_copy(
-                rslice, dattrs_ref.at[:, pl.ds(a, sizes[i])], dsem)
+                rslice, dattrs_ref.at[pl.ds(blk, nb)], dsem)
             wr.start()
             wr.wait()
 
@@ -860,7 +950,9 @@ def _bucket_bwd_call(st: RasterStatics, caps: tuple, n_pad: int):
     num_tiles = st.tiles_x * st.tiles_y
     uses_pix = USES_PIX_CTX[st.model]
     r_buf = buf_rows(st.model)
-    _offs, sizes, _c_total = _span_offsets(caps)
+    runs, _offs, _c_total = _span_offsets(caps)
+    n_runs = len(runs)
+    run_max = max(sz for _sp, _so, sz in runs)
     merge_ok = _merge_caps_ok(caps)
     c_sort = _sort_width(caps)
     in_specs = [
@@ -870,10 +962,12 @@ def _bucket_bwd_call(st: RasterStatics, caps: tuple, n_pad: int):
         pl.BlockSpec(memory_space=pltpu.HBM),    # bwd ctx (T, 8, 256)
         pl.BlockSpec(memory_space=pltpu.HBM),    # zeros, aliased to d_attrs
     ]
+    c_blk = _c_total // 128
     scratch = [
         pltpu.VMEM((r_buf, c_sort), jnp.float32),         # work
+        pltpu.VMEM((c_blk, r_buf, 128), jnp.float32),     # stage (blocked)
         pltpu.VMEM((r_buf, c_sort), jnp.float32),         # dwork
-        pltpu.VMEM((r_buf, max(sizes)), jnp.float32),     # rmw buffer
+        pltpu.VMEM((run_max // 128, r_buf, 128), jnp.float32),  # rmw buffer
         pltpu.VMEM((PIX, 1), jnp.float32),                # t_col
         pltpu.VMEM((PIX, 1), jnp.float32),                # s_run
         pltpu.VMEM((OUT_COLS, PIX), jnp.float32),         # ctx tile
@@ -883,14 +977,14 @@ def _bucket_bwd_call(st: RasterStatics, caps: tuple, n_pad: int):
         scratch += [
             pltpu.VMEM((OUT_COLS, PIX), jnp.float32),     # pixraw
             pltpu.VMEM((PIX, OUT_COLS), jnp.float32),     # pixscr
-            pltpu.SemaphoreType.DMA((NUM_SPANS,)),
+            pltpu.SemaphoreType.DMA((n_runs,)),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ]
     else:
         scratch += [
-            pltpu.SemaphoreType.DMA((NUM_SPANS,)),
+            pltpu.SemaphoreType.DMA((n_runs,)),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ]
@@ -906,7 +1000,8 @@ def _bucket_bwd_call(st: RasterStatics, caps: tuple, n_pad: int):
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=scratch,
-        out_shape=jax.ShapeDtypeStruct((r_buf, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad // 128, r_buf, 128),
+                                       jnp.float32),
         input_output_aliases={4: 0},
         interpret=st.interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -928,12 +1023,12 @@ def rasterize_buckets(bins: BucketBins, pix_ctx, seed,
     """
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
-    assert bins.attrs.shape[0] == buf_rows(st.model), (
+    assert bins.attrs.shape[1] == buf_rows(st.model), (
         bins.attrs.shape, st.model)
     args = [seed, bins.bucket_starts, bins.attrs]
     if USES_PIX_CTX[st.model]:
         args.append(pix_ctx)
-    return _bucket_call(st, caps, bins.attrs.shape[1])(*args)
+    return _bucket_call(st, caps, bins.attrs.shape[0] * 128)(*args)
 
 
 def _zero_cotangent(tree):
@@ -998,7 +1093,9 @@ def _br_bwd(statics, res, g):
     args = [seed_a, bins.bucket_starts, bins.attrs, ctx, zeros]
     if USES_PIX_CTX[st.model]:
         args.append(pix_ctx)
-    d_bucket = _bucket_bwd_call(st, caps, bins.attrs.shape[1])(*args)
+    n_pad = bins.attrs.shape[0] * 128
+    d_blocked = _bucket_bwd_call(st, caps, n_pad)(*args)   # (NB, R, 128)
+    d_bucket = d_blocked.transpose(1, 0, 2).reshape(-1, n_pad)
 
     # un-sort to splat order by the id row carried in the sorted attrs.
     # Every splat appears exactly NUM_SLOTS times among the first 4N columns
@@ -1008,10 +1105,10 @@ def _br_bwd(statics, res, g):
     # columns sort behind the 2^24 id bound.
     from vk_gaussian_splatting_tpu.ops.binning import _key_sort
     from vk_gaussian_splatting_tpu.ops.bucket_grid import NUM_SLOTS
-    n_pad = bins.attrs.shape[1]
     n4 = NUM_SLOTS * n
     col = jnp.arange(n_pad, dtype=jnp.int32)
-    idkey = jnp.where(col < n4, bins.attrs[idrow].astype(jnp.float32),
+    id_flat = bins.attrs[:, idrow, :].reshape(n_pad)
+    idkey = jnp.where(col < n4, id_flat.astype(jnp.float32),
                       jnp.float32(1 << 25))
     _, unsorted = _key_sort((idkey,), tuple(d_bucket[i] for i in range(r)))
     d_rows = jnp.stack(unsorted, axis=0)[:, :n4].reshape(
