@@ -84,11 +84,14 @@ class RasterConfig:
 
     tile_size: int = 16
     chunk: int = 128             # pairs blended per tile-loop iteration (VMEM chunk)
-    bucket_chunk: int = 256      # bucket-kernel blend chunk: the per-chunk
-                                 # transmittance scan is a serial dependency
-                                 # chain, so fewer/larger chunks win (measured
-                                 # 147 -> 128 ms at 1080p/1M); falls back to
-                                 # 128 when it does not divide the cap total
+    bucket_chunk: int = 768      # bucket-kernel blend chunk: the per-chunk
+                                 # fixed cost (region entry, transmittance
+                                 # serialization, pick machinery) dominates
+                                 # the blend, so fewer/larger chunks win —
+                                 # measured 219 -> 137 ms kernel time at
+                                 # 1080p/1M going 256 -> 768; a partial x128
+                                 # tail chunk covers any cap total
+                                 # (raster_bucket._chunk_bounds)
     slots_k: int = 16            # max tiles per splat in slot expansion
     expansion: str = "slots"     # "slots" (fast, capped) | "exact" (searchsorted)
     # binning architecture: "bucket" sorts N splats once into shifted

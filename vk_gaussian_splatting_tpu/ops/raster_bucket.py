@@ -120,6 +120,17 @@ def buf_rows(model: str) -> int:
     return 8 if need <= 8 else 16
 
 
+def _chunk_bounds(c_sort: int, chunk: int):
+    """Static blend-chunk layout [(start, width)]: `chunk`-wide slices with
+    a partial (x128) tail, so c_sort need not divide evenly. Fewer, larger
+    chunks win on chip — the per-chunk fixed cost (region entry, the tc
+    serialization, pick machinery, block-read setup) dominated the blend at
+    chunk=256: 219 -> 137 ms kernel time at chunk=768 on the 1080p/1M
+    bench scene. Both kernels derive the chunk count from this function so
+    the stochastic per-chunk rng streams agree."""
+    return [(s, min(chunk, c_sort - s)) for s in range(0, c_sort, chunk)]
+
+
 def _next_pow2(n: int) -> int:
     p = 1
     while p < n:
@@ -369,8 +380,20 @@ def _sort_width(caps: tuple) -> int:
     return c_total if _merge_caps_ok(caps) else _next_pow2(c_total)
 
 
+def _ablate() -> frozenset:
+    """Dev-only stage-ablation set for on-chip cost attribution
+    (scripts/profile_bucket_split.py): VKGS_ABLATE=dma,assembly,keys,output
+    disables the named forward-kernel stages (output becomes garbage).
+    Read at kernel-build time — changing it requires a fresh process (the
+    pallas_call builders are lru_cached)."""
+    import os
+    return frozenset(filter(None,
+                            os.environ.get("VKGS_ABLATE", "").split(",")))
+
+
 def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
     TPT = _tpt(st)  # noqa: N806 — shadows the module constant deliberately
+    abl = _ablate()
     uses_pix = USES_PIX_CTX[st.model]
     key_row = KEY_ROW[st.model]
     drow = DEPTH_ROW[st.model]
@@ -383,8 +406,8 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
     ssizes = _span_sizes(caps)
     merge_ok = _merge_caps_ok(caps)
     c_sort = c_total if merge_ok else _next_pow2(c_total)
-    assert c_sort % st.chunk == 0, (c_sort, st.chunk)
-    n_chunks = c_sort // st.chunk
+    bounds = _chunk_bounds(c_sort, st.chunk)
+    n_chunks = len(bounds)
     c_blk = c_total // 128  # candidate blocks (block-tiled attrs layout)
 
     def issue_dmas(attrs_ref, cand2, base, sems, spans):
@@ -418,37 +441,40 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
         tids = [jnp.minimum(j * TPT + t, n_tiles - 1) for t in range(TPT)]
         spans_t = [_tile_spans(spec, bstarts_ref, tid) for tid in tids]
 
-        @pl.when(j == 0)
-        def _warmup():
-            for t in range(TPT):
-                issue_dmas(attrs_ref, cand2, t * c_blk, sems.at[0, t],
-                           spans_t[t])
-
-        # prefetch the next step's tiles into the other buffer pair
-        nxt = jnp.minimum(j + 1, n_steps - 1)
-
-        @pl.when(j + 1 < n_steps)
-        def _prefetch():
-            for t in range(TPT):
-                tid = jnp.minimum(nxt * TPT + t, n_tiles - 1)
-                issue_dmas(attrs_ref, cand2,
-                           ((1 - slot) * TPT + t) * c_blk,
-                           sems.at[1 - slot, t],
-                           _tile_spans(spec, bstarts_ref, tid))
-
         bases = [(slot * TPT + t) * c_blk for t in range(TPT)]
-        for t in range(TPT):
-            # NB: loop var must NOT be named j — that shadows the program
-            # id and silently corrupts every later j-use (reclaim/drain
-            # conditions, output indices); on chip the resulting unmatched
-            # semaphore waits crashed the TPU worker (interpret-mode
-            # semaphores are simulated, so CPU tests could not catch it)
-            for jr, (_sp, _so, sz) in enumerate(runs):
-                pltpu.make_async_copy(
-                    attrs_ref.at[pl.ds(0, sz // 128)],  # shape-only
-                    cand2.at[pl.ds(bases[t] + offs[jr] // 128, sz // 128)],
-                    sems.at[slot, t, jr],
-                ).wait()
+        if "dma" not in abl:
+            @pl.when(j == 0)
+            def _warmup():
+                for t in range(TPT):
+                    issue_dmas(attrs_ref, cand2, t * c_blk, sems.at[0, t],
+                               spans_t[t])
+
+            # prefetch the next step's tiles into the other buffer pair
+            nxt = jnp.minimum(j + 1, n_steps - 1)
+
+            @pl.when(j + 1 < n_steps)
+            def _prefetch():
+                for t in range(TPT):
+                    tid = jnp.minimum(nxt * TPT + t, n_tiles - 1)
+                    issue_dmas(attrs_ref, cand2,
+                               ((1 - slot) * TPT + t) * c_blk,
+                               sems.at[1 - slot, t],
+                               _tile_spans(spec, bstarts_ref, tid))
+
+            for t in range(TPT):
+                # NB: loop var must NOT be named j — that shadows the
+                # program id and silently corrupts every later j-use
+                # (reclaim/drain conditions, output indices); on chip the
+                # resulting unmatched semaphore waits crashed the TPU
+                # worker (interpret-mode semaphores are simulated, so CPU
+                # tests could not catch it)
+                for jr, (_sp, _so, sz) in enumerate(runs):
+                    pltpu.make_async_copy(
+                        attrs_ref.at[pl.ds(0, sz // 128)],  # shape-only
+                        cand2.at[pl.ds(bases[t] + offs[jr] // 128,
+                                       sz // 128)],
+                        sems.at[slot, t, jr],
+                    ).wait()
 
         if uses_pix:
             pcopies = []
@@ -462,7 +488,7 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
         # staging copies (statically-addressed: Mosaic vector ops cannot
         # read-modify-write through a dynamically indexed buffer slot)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, c_sort), 1)
-        for t in range(TPT):
+        for t in range(TPT) if "assembly" not in abl else ():
             for b in range(c_blk):
                 work[t, :, b * 128:(b + 1) * 128] = cand2[bases[t] + b]
             if c_total < c_sort:
@@ -498,23 +524,26 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
             # -inf head [0, head) over its pow2 runs (span-local coords;
             # only run 0 can hold a head since head < 128 <= run sizes).
             # Loop var jr, NOT j — see the wait loop's shadowing note.
-            for jr, (sp, so, sz) in enumerate(runs):
-                head, n_eff = heads[sp], neffs[sp]
-                lo = jnp.clip(head - so, 0, sz)
-                hi = jnp.clip(head + n_eff - so, 0, sz)
-                live = live | ((lane >= offs[jr] + lo)
-                               & (lane < offs[jr] + hi))
-                if merge_ok:
-                    neg = neg | ((lane >= offs[jr]) & (lane < offs[jr] + lo)
-                                 & (n_eff > 0))
-            # key_is_row: the key row already rides the attrs (host rank) —
-            # only dead lanes get overwritten
-            depth_vals = (work[t, key_row:key_row + 1, :] if st.key_is_row
-                          else depth_fn(work[t]).reshape(1, c_sort))
-            dead = (jnp.where(neg, -DEAD_KEY, DEAD_KEY) if merge_ok
-                    else DEAD_KEY)
-            work[t, key_row:key_row + 1, :] = jnp.where(live, depth_vals,
-                                                        dead)
+            if "keys" not in abl:
+                for jr, (sp, so, sz) in enumerate(runs):
+                    head, n_eff = heads[sp], neffs[sp]
+                    lo = jnp.clip(head - so, 0, sz)
+                    hi = jnp.clip(head + n_eff - so, 0, sz)
+                    live = live | ((lane >= offs[jr] + lo)
+                                   & (lane < offs[jr] + hi))
+                    if merge_ok:
+                        neg = neg | ((lane >= offs[jr])
+                                     & (lane < offs[jr] + lo)
+                                     & (n_eff > 0))
+                # key_is_row: the key row already rides the attrs (host
+                # rank) — only dead lanes get overwritten
+                depth_vals = (work[t, key_row:key_row + 1, :]
+                              if st.key_is_row
+                              else depth_fn(work[t]).reshape(1, c_sort))
+                dead = (jnp.where(neg, -DEAD_KEY, DEAD_KEY) if merge_ok
+                        else DEAD_KEY)
+                work[t, key_row:key_row + 1, :] = jnp.where(live, depth_vals,
+                                                            dead)
             n_lives.append(n_live)
             n_heads.append(n_head if merge_ok else jnp.int32(0))
 
@@ -523,7 +552,9 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
         # dependency chain (roll -> compare -> select), so a lone sort is
         # VLIW-latency-bound (~125 ns/stage floor measured); adjacent
         # independent chains let the static scheduler fill the bubbles.
-        if merge_ok:
+        if "merge" in abl:
+            pass
+        elif merge_ok:
             # spans are depth-sorted runs (the binning's (bucket, depth)
             # sort), so a ~38-stage odd-even merge tree replaces the full
             # 55+-stage bitonic sort
@@ -548,7 +579,7 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
         pick_init = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (PIX, 4), 1) < n_thr,
             1e30, 0.0)
-        for t in range(TPT):
+        for t in range(TPT) if "blend" not in abl else ():
             acc[t] = jnp.zeros((PIX, 3), jnp.float32)
             t_col[t] = jnp.ones((PIX, 1), jnp.float32)
             pick_d[t] = pick_init
@@ -559,12 +590,14 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                 pcopies[t].wait()
                 pixscr[t] = jnp.transpose(pixraw[t])
 
-        c = st.chunk
-
-        def blend_chunk(t, ci):
+        def blend_chunk(t, ci, active):
+            """One tile-chunk blend; commits masked by the scalar `active`
+            (bit-identical to skipping the chunk for this tile — see the
+            chunk loop's region structure below)."""
+            cs, cw = bounds[ci]
             pix = pixscr[t] if uses_pix else None
             px, py = pxy[t]
-            block = work[t, :, ci * c:(ci + 1) * c]
+            block = work[t, :, cs:cs + cw]
             key = block[key_row:key_row + 1, :]
             lane_live = jnp.abs(key) < (DEAD_KEY * 0.5)
             # seed from the CLAMPED tile id (tids[t]): on a final partial
@@ -573,37 +606,43 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
             # matches the backward's seed_ref[0] + tile*n_chunks + ci
             rng_key = (seed_ref[0] + tids[t] * n_chunks + ci
                        if st.stochastic else None)
-            alpha_fn = _alpha_closure(st, pix, px, py, 0, c, rng_key)
+            alpha_fn = _alpha_closure(st, pix, px, py, 0, cw, rng_key)
             alpha = jnp.where(lane_live, alpha_fn(block), 0.0)
             q = 1.0 - alpha
             excl = _cumprod_exclusive(q)
             tc = t_col[t]
             w = alpha * excl * tc
             cols = color_fn(block)
-            acc[t] = acc[t] + jax.lax.dot_general(
-                w, cols, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            acc[t] = jnp.where(
+                active,
+                acc[t] + jax.lax.dot_general(
+                    w, cols, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32),
+                acc[t])
 
             # depth/id picks skip entirely once every pixel has resolved
-            # (usually after the first chunk or two)
+            # (background pixels never resolve, so this region runs for
+            # most chunks — keep its body lean)
             @pl.when(jnp.max(pick_d[t]) > 1e29)
             def _picks():
                 t_after = tc * excl * q
-                lane_c = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, c), 1) * jnp.ones((PIX, 1), jnp.int32)
+                # monotone-crossing selection: t_after is non-increasing
+                # along lanes, so "first lane with t_after < thr (and
+                # alpha > 0)" == "the unique lane where T crosses thr"
+                # (a crossing lane always has alpha > 0: alpha == 0 keeps
+                # t_after == prev). Replaces the iota/min/eq argmin — same
+                # selected lane bit-for-bit, ~40% fewer (PIX, C) ops.
+                prev = jnp.concatenate([tc, t_after[:, :cw - 1]], axis=1)
                 thresholds = (st.iso_thresholds if st.multi_iso
                               else (st.depth_iso,))
-                depth_row = depth_fn(block).reshape(1, c)
+                depth_row = depth_fn(block).reshape(1, cw)
                 for i, thr in enumerate(thresholds):
-                    cond = (t_after < thr) & (alpha > 0.0)
-                    first = jnp.min(jnp.where(cond, lane_c, 1 << 20),
-                                    axis=1, keepdims=True)
-                    sel = (lane_c == first) & cond
+                    sel = (t_after < thr) & (prev >= thr)
+                    hit = jnp.any(sel, axis=1, keepdims=True)
                     d_sel = jnp.sum(jnp.where(sel, depth_row, 0.0),
                                     axis=1, keepdims=True)
-                    hit = first < (1 << 20)
                     unpicked = pick_d[t, :, i:i + 1] > 1e29
-                    upd = hit & unpicked
+                    upd = hit & unpicked & active
                     if i == 0 and not st.multi_iso:
                         id_sel = jnp.sum(
                             jnp.where(sel, block[idrow:idrow + 1, :], 0.0),
@@ -611,17 +650,38 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                         pick_id[t] = jnp.where(upd, id_sel, pick_id[t])
                     pick_d[t, :, i:i + 1] = jnp.where(upd, d_sel,
                                                       pick_d[t, :, i:i + 1])
-            t_col[t] = tc * excl[:, c - 1:c] * q[:, c - 1:c]
+            t_col[t] = jnp.where(active,
+                                 tc * excl[:, cw - 1:cw] * q[:, cw - 1:cw],
+                                 tc)
 
-        for ci in range(n_chunks):
-            for t in range(TPT):
-                # live lanes occupy [n_heads, n_heads + n_live): skip chunks
-                # wholly inside the merged -inf head block or past the tail
-                @pl.when((ci * c < n_heads[t] + n_lives[t])
-                         & ((ci + 1) * c > n_heads[t])
-                         & (jnp.max(t_col[t]) > st.min_transmittance))
-                def _(t=t, ci=ci):
-                    blend_chunk(t, ci)
+        for ci in range(n_chunks) if "blend" not in abl else ():
+            # ONE region per chunk covering all TPT tiles: the tiles'
+            # bodies are independent instruction chains, so the VLIW
+            # scheduler interleaves them and hides the cumprod scan's
+            # serial latency (separate per-tile pl.when regions cannot
+            # interleave). Per-tile exactness is preserved by masking every
+            # commit with that tile's own skip condition (`active`); the
+            # region gate is the OR of the window tests and a single
+            # alive-reduce over BOTH tiles' transmittance, so whole-region
+            # skips (before the window / after early termination) still
+            # happen.
+            cs, cw = bounds[ci]
+            win = [(cs < n_heads[t] + n_lives[t])
+                   & (cs + cw > n_heads[t]) for t in range(TPT)]
+            any_win = win[0]
+            for t in range(1, TPT):
+                any_win = any_win | win[t]
+            alive_any = jnp.max(t_col[:, :, :]) > st.min_transmittance
+
+            @pl.when(any_win & alive_any)
+            def _(ci=ci, win=win):
+                for t in range(TPT):
+                    active = win[t] & (jnp.max(t_col[t])
+                                       > st.min_transmittance)
+                    blend_chunk(t, ci, active)
+
+        if "output" in abl:
+            return
 
         # fire-and-forget output: rotate two buffer sets, wait before reuse
         @pl.when(j >= 2)
@@ -718,7 +778,13 @@ def _bucket_call(st: RasterStatics, caps: tuple, n_pad: int):
         out_shape=jax.ShapeDtypeStruct((num_tiles, OUT_COLS, PIX),
                                        jnp.float32),
         interpret=st.interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # large blend chunks (bucket_chunk=768) push Mosaic's
+            # per-kernel stack past the default 16 MB scoped-vmem
+            # limit (bwd overflowed it by 40 KB at 1080p); v5e has
+            # 128 MB VMEM and our scratch is ~2 MB, so 64 MB is safe
+            vmem_limit_bytes=64 * 1024 * 1024),
     )
 
 
@@ -745,9 +811,8 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
     ssizes = _span_sizes(caps)
     merge_ok = _merge_caps_ok(caps)
     c_sort = c_total if merge_ok else _next_pow2(c_total)
-    assert c_sort % st.chunk == 0, (c_sort, st.chunk)
-    n_chunks = c_sort // st.chunk
-    c = st.chunk
+    bounds = _chunk_bounds(c_sort, st.chunk)
+    n_chunks = len(bounds)
 
     def kernel(seed_ref, bstarts_ref, attrs_ref, ctx_hbm_ref, zeros_ref,
                *rest):
@@ -848,15 +913,17 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
         pix = pixscr[:, :] if uses_pix else None
 
         for ci in range(n_chunks):
-            @pl.when((ci * c < n_head + n_live) & ((ci + 1) * c > n_head)
+            cs, cw = bounds[ci]
+
+            @pl.when((cs < n_head + n_live) & (cs + cw > n_head)
                      & (jnp.max(t_col[:, :]) > st.min_transmittance))
-            def _(ci=ci):
-                block = work[:, ci * c:(ci + 1) * c]
+            def _(ci=ci, cs=cs, cw=cw):
+                block = work[:, cs:cs + cw]
                 key = block[key_row:key_row + 1, :]
                 lane_live = jnp.abs(key) < (DEAD_KEY * 0.5)
                 rng_key = (seed_ref[0] + j * n_chunks + ci
                            if st.stochastic else None)
-                raw_alpha = _alpha_closure(st, pix, px, py, 0, c, rng_key)
+                raw_alpha = _alpha_closure(st, pix, px, py, 0, cw, rng_key)
 
                 def alpha_f(blk):
                     return jnp.where(lane_live, raw_alpha(blk), 0.0)
@@ -890,10 +957,9 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                 d_full = jnp.concatenate(
                     [d_block[:r0, :], d_block[r0:r1 + 1, :] + dcol,
                      d_block[r1 + 1:, :]], axis=0)
-                dwork[:, ci * c:(ci + 1) * c] = (
-                    dwork[:, ci * c:(ci + 1) * c] + d_full)
+                dwork[:, cs:cs + cw] = dwork[:, cs:cs + cw] + d_full
 
-                t_col[:, :] = tc * excl[:, c - 1:c] * q[:, c - 1:c]
+                t_col[:, :] = tc * excl[:, cw - 1:cw] * q[:, cw - 1:cw]
                 s_run[:, :] = s_run[:, :] + jnp.sum(wcg, axis=1,
                                                     keepdims=True)
 
@@ -1004,7 +1070,13 @@ def _bucket_bwd_call(st: RasterStatics, caps: tuple, n_pad: int):
                                        jnp.float32),
         input_output_aliases={4: 0},
         interpret=st.interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # large blend chunks (bucket_chunk=768) push Mosaic's
+            # per-kernel stack past the default 16 MB scoped-vmem
+            # limit (bwd overflowed it by 40 KB at 1080p); v5e has
+            # 128 MB VMEM and our scratch is ~2 MB, so 64 MB is safe
+            vmem_limit_bytes=64 * 1024 * 1024),
     )
 
 

@@ -191,8 +191,9 @@ def _render_bucket(proj, rows, cfg: RenderConfig, st, *,
 
     caps = tuple(cfg.raster.bucket_caps)
     c_total = caps[0] + 2 * caps[1] + 2 * caps[2] + caps[3]
-    bc = cfg.raster.bucket_chunk
-    st = dataclasses.replace(st, chunk=bc if c_total % bc == 0 else 128)
+    # chunk layout handles a partial tail (raster_bucket._chunk_bounds), so
+    # bucket_chunk applies to any cap set
+    st = dataclasses.replace(st, chunk=cfg.raster.bucket_chunk)
     out, num_valid, overflow = bucket_render(
         proj, rows, depth_override, pix_ctx, seed, (st, caps))
     img, trans, depth, splat_id = assemble_image(
