@@ -591,9 +591,26 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                 pixscr[t] = jnp.transpose(pixraw[t])
 
         def blend_chunk(t, ci, active):
-            """One tile-chunk blend; commits masked by the scalar `active`
-            (bit-identical to skipping the chunk for this tile — see the
-            chunk loop's region structure below)."""
+            """One tile-chunk blend; commits masked by the scalar window
+            test `active`, with PER-PIXEL transmittance termination.
+
+            Termination must NOT be a pl.when gate: the max-over-pixels
+            reduce in the gate condition crosses from the VPU to the
+            scalar core, and that sync costs ~7.5 us per evaluation on
+            v5e — measured 150 ms of a 213 ms kernel frame across
+            5 chunks x 4080 steps (scripts/profile_bucket_overhead.py:
+            the kernel with blend regions compile-time removed runs in
+            34 ms, with regions present but runtime-skipped 189 ms).
+            Instead each resolved pixel's alpha row is zeroed — one
+            (PIX, cw) vector where. A frozen pixel then has q = 1,
+            excl = 1: its color, transmittance, and picks are all exact
+            no-ops with NO extra masking. This is also the reference's
+            semantics — the fragment loop terminates per pixel
+            (threedgs_raster.frag.slang under-blend break), whereas the
+            old region gate froze the whole tile only once EVERY pixel
+            resolved (the region gate and a (1,1)-reduce mask variant
+            both crashed or stalled the TPU worker; per-pixel is both
+            faster and truer to the reference)."""
             cs, cw = bounds[ci]
             pix = pixscr[t] if uses_pix else None
             px, py = pxy[t]
@@ -607,10 +624,11 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
             rng_key = (seed_ref[0] + tids[t] * n_chunks + ci
                        if st.stochastic else None)
             alpha_fn = _alpha_closure(st, pix, px, py, 0, cw, rng_key)
+            tc = t_col[t]
             alpha = jnp.where(lane_live, alpha_fn(block), 0.0)
+            alpha = jnp.where(tc > st.min_transmittance, alpha, 0.0)
             q = 1.0 - alpha
             excl = _cumprod_exclusive(q)
-            tc = t_col[t]
             w = alpha * excl * tc
             cols = color_fn(block)
             acc[t] = jnp.where(
@@ -620,36 +638,34 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                     preferred_element_type=jnp.float32),
                 acc[t])
 
-            # depth/id picks skip entirely once every pixel has resolved
-            # (background pixels never resolve, so this region runs for
-            # most chunks — keep its body lean)
-            @pl.when(jnp.max(pick_d[t]) > 1e29)
-            def _picks():
-                t_after = tc * excl * q
-                # monotone-crossing selection: t_after is non-increasing
-                # along lanes, so "first lane with t_after < thr (and
-                # alpha > 0)" == "the unique lane where T crosses thr"
-                # (a crossing lane always has alpha > 0: alpha == 0 keeps
-                # t_after == prev). Replaces the iota/min/eq argmin — same
-                # selected lane bit-for-bit, ~40% fewer (PIX, C) ops.
-                prev = jnp.concatenate([tc, t_after[:, :cw - 1]], axis=1)
-                thresholds = (st.iso_thresholds if st.multi_iso
-                              else (st.depth_iso,))
-                depth_row = depth_fn(block).reshape(1, cw)
-                for i, thr in enumerate(thresholds):
-                    sel = (t_after < thr) & (prev >= thr)
-                    hit = jnp.any(sel, axis=1, keepdims=True)
-                    d_sel = jnp.sum(jnp.where(sel, depth_row, 0.0),
-                                    axis=1, keepdims=True)
-                    unpicked = pick_d[t, :, i:i + 1] > 1e29
-                    upd = hit & unpicked & active
-                    if i == 0 and not st.multi_iso:
-                        id_sel = jnp.sum(
-                            jnp.where(sel, block[idrow:idrow + 1, :], 0.0),
-                            axis=1, keepdims=True)
-                        pick_id[t] = jnp.where(upd, id_sel, pick_id[t])
-                    pick_d[t, :, i:i + 1] = jnp.where(upd, d_sel,
-                                                      pick_d[t, :, i:i + 1])
+            # depth/id picks: always computed, masked by `unpicked` (the
+            # old resolved-skip pl.when paid the same scalar-sync cost as
+            # the aliveness gate; ~10 masked vector ops are cheaper)
+            t_after = tc * excl * q
+            # monotone-crossing selection: t_after is non-increasing
+            # along lanes, so "first lane with t_after < thr (and
+            # alpha > 0)" == "the unique lane where T crosses thr"
+            # (a crossing lane always has alpha > 0: alpha == 0 keeps
+            # t_after == prev). Replaces the iota/min/eq argmin — same
+            # selected lane bit-for-bit, ~40% fewer (PIX, C) ops.
+            prev = jnp.concatenate([tc, t_after[:, :cw - 1]], axis=1)
+            thresholds = (st.iso_thresholds if st.multi_iso
+                          else (st.depth_iso,))
+            depth_row = depth_fn(block).reshape(1, cw)
+            for i, thr in enumerate(thresholds):
+                sel = (t_after < thr) & (prev >= thr)
+                hit = jnp.any(sel, axis=1, keepdims=True)
+                d_sel = jnp.sum(jnp.where(sel, depth_row, 0.0),
+                                axis=1, keepdims=True)
+                unpicked = pick_d[t, :, i:i + 1] > 1e29
+                upd = hit & unpicked & active
+                if i == 0 and not st.multi_iso:
+                    id_sel = jnp.sum(
+                        jnp.where(sel, block[idrow:idrow + 1, :], 0.0),
+                        axis=1, keepdims=True)
+                    pick_id[t] = jnp.where(upd, id_sel, pick_id[t])
+                pick_d[t, :, i:i + 1] = jnp.where(upd, d_sel,
+                                                  pick_d[t, :, i:i + 1])
             t_col[t] = jnp.where(active,
                                  tc * excl[:, cw - 1:cw] * q[:, cw - 1:cw],
                                  tc)
@@ -659,26 +675,22 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
             # bodies are independent instruction chains, so the VLIW
             # scheduler interleaves them and hides the cumprod scan's
             # serial latency (separate per-tile pl.when regions cannot
-            # interleave). Per-tile exactness is preserved by masking every
-            # commit with that tile's own skip condition (`active`); the
-            # region gate is the OR of the window tests and a single
-            # alive-reduce over BOTH tiles' transmittance, so whole-region
-            # skips (before the window / after early termination) still
-            # happen.
+            # interleave). The region gate uses ONLY the scalar-domain
+            # window tests (n_heads/n_lives come from SMEM span
+            # descriptors): beyond-occupancy chunks still skip for free,
+            # while transmittance early-out is a vector mask inside
+            # blend_chunk — see its docstring for the measured reason.
             cs, cw = bounds[ci]
             win = [(cs < n_heads[t] + n_lives[t])
                    & (cs + cw > n_heads[t]) for t in range(TPT)]
             any_win = win[0]
             for t in range(1, TPT):
                 any_win = any_win | win[t]
-            alive_any = jnp.max(t_col[:, :, :]) > st.min_transmittance
 
-            @pl.when(any_win & alive_any)
+            @pl.when(any_win)
             def _(ci=ci, win=win):
                 for t in range(TPT):
-                    active = win[t] & (jnp.max(t_col[t])
-                                       > st.min_transmittance)
-                    blend_chunk(t, ci, active)
+                    blend_chunk(t, ci, win[t])
 
         if "output" in abl:
             return
@@ -915,8 +927,12 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
         for ci in range(n_chunks):
             cs, cw = bounds[ci]
 
-            @pl.when((cs < n_head + n_live) & (cs + cw > n_head)
-                     & (jnp.max(t_col[:, :]) > st.min_transmittance))
+            # gate on the SCALAR window test only; transmittance early-out
+            # is the forward's per-pixel alpha freeze, inside alpha_f so
+            # the VJP zeroes frozen pixels' gradients too — a max-reduce
+            # inside a pl.when condition syncs VPU -> scalar core at
+            # ~7.5 us per evaluation (see blend_chunk's docstring)
+            @pl.when((cs < n_head + n_live) & (cs + cw > n_head))
             def _(ci=ci, cs=cs, cw=cw):
                 block = work[:, cs:cs + cw]
                 key = block[key_row:key_row + 1, :]
@@ -924,14 +940,16 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                 rng_key = (seed_ref[0] + j * n_chunks + ci
                            if st.stochastic else None)
                 raw_alpha = _alpha_closure(st, pix, px, py, 0, cw, rng_key)
+                tc = t_col[:, :]
+                px_live = tc > st.min_transmittance
 
                 def alpha_f(blk):
-                    return jnp.where(lane_live, raw_alpha(blk), 0.0)
+                    a = jnp.where(lane_live, raw_alpha(blk), 0.0)
+                    return jnp.where(px_live, a, 0.0)
 
                 alpha, alpha_vjp = jax.vjp(alpha_f, block)
                 q = 1.0 - alpha
                 excl = _cumprod_exclusive(q)
-                tc = t_col[:, :]
                 t_k = excl * tc
                 w = alpha * t_k
                 g_rgb_t = ctx[0:3, :]                          # (3, 256)
@@ -957,6 +975,9 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                 d_full = jnp.concatenate(
                     [d_block[:r0, :], d_block[r0:r1 + 1, :] + dcol,
                      d_block[r1 + 1:, :]], axis=0)
+                # frozen pixels contribute nothing: their alpha (and hence
+                # w, wcg, d_block rows) is zero via alpha_f, and q = 1,
+                # excl = 1 make the t_col/s_run updates exact no-ops
                 dwork[:, cs:cs + cw] = dwork[:, cs:cs + cw] + d_full
 
                 t_col[:, :] = tc * excl[:, cw - 1:cw] * q[:, cw - 1:cw]
