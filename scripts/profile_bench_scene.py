@@ -67,24 +67,11 @@ st = raster_statics(cfg, interpret=False)
 kern_j = jax.jit(lambda b: rb.rasterize_buckets(b, None, None, st, CAPS))
 print("kernel full ms:", t(kern_j, bins), flush=True)
 
-# ablation: merge stages off (output wrong, cost structure only)
-orig = rb._oem_stage
-rb._oem_stage = lambda *a, **k: None
-rb._bucket_call.cache_clear()
-kern_ns = jax.jit(lambda b: rb.rasterize_buckets(b, None, None, st, CAPS))
-print("kernel no-merge ms:", t(kern_ns, bins), flush=True)
-rb._oem_stage = orig
-
-# ablation: blend chunks forced off via instant transmittance cutoff
-import dataclasses  # noqa: E402
-st2 = dataclasses.replace(st, min_transmittance=1e30)
-rb._bucket_call.cache_clear()
-kern_nb = jax.jit(lambda b: rb.rasterize_buckets(b, None, None, st2, CAPS))
-print("kernel no-blend ms:", t(kern_nb, bins), flush=True)
-
-# ablation: both off => DMA + key building + output copies
-rb._oem_stage = lambda *a, **k: None
-rb._bucket_call.cache_clear()
-kern_dma = jax.jit(lambda b: rb.rasterize_buckets(b, None, None, st2, CAPS))
-print("kernel dma-only ms:", t(kern_dma, bins), flush=True)
-rb._oem_stage = orig
+# Stage ablations are COMPILE-TIME (VKGS_ABLATE, read when the lru_cached
+# pallas_call builder first runs) — one combo per process. Use
+# scripts/profile_bucket_sweep.sh to run the full attribution sweep;
+# monkeypatching _oem_stage / min_transmittance=1e30 in-process no longer
+# ablates anything (the runtime blend gate was removed for the per-pixel
+# alpha freeze).
+print("run scripts/profile_bucket_sweep.sh for merge/blend/dma ablations",
+      flush=True)

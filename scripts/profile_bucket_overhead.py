@@ -5,7 +5,7 @@ blend ~27 ms of a ~213 ms single-dispatch kernel: the cost now lives in the
 DMA / assembly / keys / output machinery (~39 us per grid step). This
 script runs ONE ablation combo per process (the pallas_call builders are
 lru_cached and VKGS_ABLATE is read at build time) and prints its timing;
-scripts/profile_bucket_overhead.sh sweeps the combos.
+scripts/profile_bucket_sweep.sh sweeps the combos.
 
 Usage: VKGS_ABLATE=<set> python scripts/profile_bucket_overhead.py [caps] [n]
   <set> drawn from: dma, assembly, keys, merge, blend, output

@@ -1,27 +1,39 @@
-"""Isolate bucket-kernel cost components by disabling pieces (dev tool)."""
+"""Isolate bucket-kernel cost components by disabling pieces (dev tool).
+
+Modes map onto the kernel's compile-time VKGS_ABLATE knob (one combo per
+process — the pallas_call builders are lru_cached):
+  full    = no ablation
+  nosort  = merge stages removed      (VKGS_ABLATE=merge)
+  nochunk = blend chunks removed      (VKGS_ABLATE=blend)
+  fixed   = both removed              (VKGS_ABLATE=merge,blend)
+The old in-process tricks (monkeypatching _bitonic_stage,
+min_transmittance=1e30) stopped ablating anything when the runtime blend
+gate was replaced by the per-pixel alpha freeze."""
+import os
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
+MODE = sys.argv[1] if len(sys.argv) > 1 else "full"  # full|nosort|nochunk
+_ABLATE = {"full": "", "nosort": "merge", "nochunk": "blend",
+           "fixed": "merge,blend"}
+os.environ["VKGS_ABLATE"] = _ABLATE[MODE]
 
-import vk_gaussian_splatting_tpu.ops.raster_bucket as rb
-from vk_gaussian_splatting_tpu.config import RenderConfig
-from vk_gaussian_splatting_tpu.ops.bucket_grid import bucket_splats
-from vk_gaussian_splatting_tpu.ops.projection import project_splats
-from vk_gaussian_splatting_tpu.render.pipelines import (
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import vk_gaussian_splatting_tpu.ops.raster_bucket as rb  # noqa: E402
+from vk_gaussian_splatting_tpu.config import RenderConfig  # noqa: E402
+from vk_gaussian_splatting_tpu.ops.bucket_grid import bucket_splats  # noqa: E402
+from vk_gaussian_splatting_tpu.ops.projection import project_splats  # noqa: E402
+from vk_gaussian_splatting_tpu.render.pipelines import (  # noqa: E402
     gs_attr_rows,
     raster_statics,
 )
-from vk_gaussian_splatting_tpu.scene.cameras import look_at
-from vk_gaussian_splatting_tpu.scene.splat_set import random_splats
+from vk_gaussian_splatting_tpu.scene.cameras import look_at  # noqa: E402
+from vk_gaussian_splatting_tpu.scene.splat_set import random_splats  # noqa: E402
 
-MODE = sys.argv[1] if len(sys.argv) > 1 else "full"  # full|nosort|nochunk
 CAPS = tuple(int(x) for x in sys.argv[2].split(",")) if len(sys.argv) > 2 \
     else (384, 128, 128, 128)
-
-if MODE in ("nosort", "fixed"):
-    rb._bitonic_stage = lambda *a, **k: None
 
 cfg = RenderConfig(width=1920, height=1080, sh_degree=3)
 splats = random_splats(jax.random.key(0), 1_000_000, sh_degree=3, extent=4.0,
@@ -52,8 +64,6 @@ bins = jax.block_until_ready(
     jax.jit(lambda p, r: bucket_splats(p, r, tiles_x=tx, tiles_y=ty,
                                        caps=CAPS))(proj, rows))
 st = raster_statics(cfg, interpret=False)
-if MODE in ("nochunk", "fixed"):
-    st = __import__("dataclasses").replace(st, min_transmittance=1e30)
 rast_j = jax.jit(lambda b: rasterize_buckets_local(b))
 
 

@@ -95,11 +95,13 @@ def test_bucket_matches_pairs_big_splats():
     out = render_3dgs(prepared, cam,
                       _bucket_cfg(cfg, caps=(256, 256, 256, 256)))
     assert not bool(out.overflow)
-    # 5e-5: near-equal depths may blend in either order across the two
-    # architectures (merge network vs pair schedule); diffs stay at
-    # float-associativity scale
+    # 2e-4: near-equal depths may blend in either order across the two
+    # architectures (merge network vs pair schedule) at float-associativity
+    # scale, and each path freezes saturated pixels (T <= 1e-4) at ITS OWN
+    # blend-chunk boundary (bucket 768 lanes vs pair 128), so residual
+    # contributions bounded by min_transmittance can differ
     np.testing.assert_allclose(np.asarray(out.image), np.asarray(ref.image),
-                               atol=5e-5)
+                               atol=2e-4)
 
 
 def test_bucket_matches_pairs_packed():

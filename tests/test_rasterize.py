@@ -31,10 +31,15 @@ def test_pallas_matches_naive(seed, n):
     proj = project_splats(prepared, cam, cfg)
     img_ref, t_ref = rasterize_naive(proj, cfg.width, cfg.height, cfg.raster)
 
+    # atol 1.5e-4: the kernel freezes each pixel once T <= min_transmittance
+    # (1e-4) at blend-chunk granularity, truncating residual contributions
+    # bounded by min_transmittance; the naive reference blends to the end
     img = np.asarray(out.image)
-    np.testing.assert_allclose(img, np.asarray(img_ref), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(img, np.asarray(img_ref), atol=1.5e-4,
+                               rtol=1e-4)
     np.testing.assert_allclose(
-        np.asarray(out.transmittance), np.asarray(t_ref), atol=2e-5, rtol=1e-4
+        np.asarray(out.transmittance), np.asarray(t_ref), atol=1.5e-4,
+        rtol=1e-4
     )
     # scene must actually cover pixels for the test to mean anything
     assert float(t_ref.min()) < 0.9

@@ -573,9 +573,9 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
 
         # ---- front-to-back chunked blend (pair-kernel math), interleaved --
         n_thr = len(st.iso_thresholds) if st.multi_iso else 1
-        # unused pick columns start at 0 (not 1e30) so the picks-skip
-        # condition max(pick_d) > 1e29 can actually become false once the
-        # live thresholds resolve
+        # unused pick columns start at 0, live ones at 1e30: the per-lane
+        # "unpicked" test `pick_d > 1e29` must stay false for columns that
+        # can never be picked (only the first n_thr hold live thresholds)
         pick_init = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (PIX, 4), 1) < n_thr,
             1e30, 0.0)

@@ -258,15 +258,22 @@ def _make_fwd_kernel(st: RasterStatics):
                     copy.wait()
                     pixscr[:, :] = jnp.transpose(pixraw[:, :])
 
-            @pl.when(jnp.max(t_col[:, :]) > st.min_transmittance)
+            # PER-PIXEL transmittance termination, matching the bucket
+            # kernel bit-for-bit (raster_bucket.blend_chunk): a resolved
+            # pixel's alpha row is zeroed, making its color/T/pick updates
+            # exact no-ops. The old whole-tile pl.when gate cost a
+            # VPU->scalar-core sync (~7.5 us) per evaluation AND diverged
+            # from the bucket path's semantics once any pixel saturated
+            # inside a still-live tile (ADVICE r4 medium).
             def _blend():
                 block = ablock[slot]
                 pix = pixscr[:, :] if uses_pix else None
+                tc = t_col[:, :]
                 alpha = _alpha_closure(st, pix, px, py, lo, hi,
                                        rng_key)(block)
+                alpha = jnp.where(tc > st.min_transmittance, alpha, 0.0)
                 q = 1.0 - alpha
                 excl = _cumprod_exclusive(q)
-                tc = t_col[:, :]
                 w = alpha * excl * tc                          # (256, C)
                 if pix_color_fn is not None:
                     # per-pixel interpolated colors (tri2d_smooth Gouraud):
@@ -313,6 +320,8 @@ def _make_fwd_kernel(st: RasterStatics):
                                                    pick_d[:, i:i + 1])
 
                 t_col[:, :] = tc * excl[:, c - 1:c] * q[:, c - 1:c]
+
+            _blend()
 
             @pl.when(is_last > 0)
             def _flush():
@@ -383,15 +392,23 @@ def _make_bwd_kernel(st: RasterStatics):
                     pcopy.wait()
                     pixscr[:, :] = jnp.transpose(pixraw[:, :])
 
-            @pl.when(jnp.max(t_col[:, :]) > st.min_transmittance)
+            # per-pixel freeze, mirroring the forward (and the bucket bwd):
+            # masking inside alpha_f makes the VJP zero frozen pixels'
+            # gradients too; q = 1, excl = 1 keep t_col/s_run exact no-ops
             def _grads():
                 block = ablock[:, :]
                 pix = pixscr[:, :] if uses_pix else None
-                alpha_f = _alpha_closure(st, pix, px, py, lo, hi, rng_key)
+                tc0 = t_col[:, :]
+                px_live = tc0 > st.min_transmittance
+                raw_alpha = _alpha_closure(st, pix, px, py, lo, hi, rng_key)
+
+                def alpha_f(blk):
+                    return jnp.where(px_live, raw_alpha(blk), 0.0)
+
                 alpha, alpha_vjp = jax.vjp(alpha_f, block)
                 q = 1.0 - alpha
                 excl = _cumprod_exclusive(q)
-                tc = t_col[:, :]
+                tc = tc0
                 t_k = excl * tc
                 w = alpha * t_k
                 g_rgb_t = ctx[0:3, :]                             # (3, 256)
@@ -440,6 +457,8 @@ def _make_bwd_kernel(st: RasterStatics):
 
                 t_col[:, :] = tc * excl[:, c - 1:c] * q[:, c - 1:c]
                 s_run[:, :] = s_run[:, :] + jnp.sum(wcg, axis=1, keepdims=True)
+
+            _grads()
 
     return kernel
 
