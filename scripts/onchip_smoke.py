@@ -14,21 +14,39 @@ CPU interpret mode and the chip diverge. This script:
    identical stochastic stream for equal seeds, a different stream for
    different sample ids.
 
+The run also writes ONCHIP.json at the repo root (aot / oracle /
+determinism fields) so each round's chip health is a driver-visible
+artifact, not a log line (VERDICT r4 next #8) — bench.py triggers it at the
+end of the driver bench.
+
 Usage:
-    PYTHONPATH=/root/repo python scripts/onchip_smoke.py            # full
-    PYTHONPATH=/root/repo python scripts/onchip_smoke.py --aot-only # chip busy
+    PYTHONPATH="/root/repo:$PYTHONPATH" python scripts/onchip_smoke.py
+    ... --aot-only     # chip busy: compile-only
+    (PYTHONPATH must KEEP the inherited value — it registers the TPU)
 
 NEVER run this under `timeout` or kill it mid-flight (device wedge);
 launch in background and poll the log.
 """
 
 import dataclasses
+import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+RESULT = {"ok": False, "stage": "init"}
+
+
+def write_artifact():
+    RESULT["elapsed_s"] = round(time.time() - T0, 1)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "ONCHIP.json")
+    with open(path, "w") as f:
+        json.dump(RESULT, f, indent=1)
 
 from vk_gaussian_splatting_tpu.config import RenderConfig, StochasticMode
 from vk_gaussian_splatting_tpu.render.pipelines import render_3dgs
@@ -63,6 +81,8 @@ def main():
     aot_only = "--aot-only" in sys.argv
     dev = jax.devices()[0]
     log(f"device: {dev}")
+    RESULT["device"] = str(dev)
+    RESULT["stage"] = "aot"
 
     # ---- 1. AOT-compile the flagship 1080p program for the real target ----
     # non-pow2 x128 caps: the shape class fit_caps now emits (sum-of-two-
@@ -81,9 +101,12 @@ def main():
         return jnp.sum(render_3dgs(p.prepare(), c, cfg_big).image ** 2)
     jax.jit(jax.grad(loss_big)).lower(splats_big, cam_big).compile()
     log("AOT compile 1080p bucket fwd+bwd: OK")
+    RESULT["aot"] = True
     if aot_only:
+        RESULT.update(ok=True, stage="aot_only")
         log("SMOKE OK (aot-only)")
         return
+    RESULT["stage"] = "oracle"
 
     # ---- 2. small on-chip render + gradient vs the pair-kernel oracle ----
     cfg = RenderConfig(width=256, height=192, sh_degree=1)
@@ -102,6 +125,8 @@ def main():
     assert not bool(out_b.overflow), "smoke scene overflows bucket caps"
     d = np.abs(img_b - img_p)
     log(f"bucket vs pair image: max {d.max():.2e} mean {d.mean():.2e}")
+    RESULT["oracle"] = {"image_max_abs": float(d.max()),
+                        "image_mean_abs": float(d.mean())}
     # two independent kernels, same math; chip f32 reorder noise only
     assert d.max() < 5e-4, f"bucket/pair divergence {d.max()}"
 
@@ -124,9 +149,12 @@ def main():
         # splat-pixel contributions on ~1% of entries; judge the bulk
         med, p999 = np.median(rel), np.quantile(rel, 0.999)
         log(f"grad {name}: median {med:.2e} p99.9 {p999:.2e}")
+        RESULT["oracle"][f"grad_{name}"] = {"median_rel": float(med),
+                                            "p999_rel": float(p999)}
         assert med < 1e-5 and p999 < 2e-2, (name, med, p999)
 
     # ---- 3. determinism (SURVEY.md §5): bit-equal repeats ----
+    RESULT["stage"] = "determinism"
     img_b2 = np.asarray(render_3dgs(prepared, cam, bcfg).image)
     assert np.array_equal(img_b, img_b2), "repeat bucket render not bit-equal"
 
@@ -139,8 +167,15 @@ def main():
     assert not np.array_equal(s1, s_more), \
         "different sample count produced an identical stochastic stream"
     log("determinism: bit-equal repeats, seed-stable stochastic stream")
+    RESULT.update(ok=True, determinism=True, stage="done")
     log("SMOKE OK")
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — artifact must record failure
+        RESULT["error"] = f"{type(e).__name__}: {e}"
+        raise
+    finally:
+        write_artifact()
