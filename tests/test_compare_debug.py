@@ -103,3 +103,40 @@ def test_pixel_trace_gut_matches_render():
     img_rt = np.asarray(out_rt.image)
     tr = pixel_trace_gut(splats, cam, 32, 24, cfg, order="radial")
     np.testing.assert_allclose(tr.final_color, img_rt[24, 32], atol=2e-2)
+
+
+def test_atrous_denoise_reduces_stochastic_noise():
+    """cfg.denoise='atrous' (the DLSS-RR capability slot) must cut the
+    1-sample stochastic error against the analytic blend while preserving
+    a noise-free render almost exactly (edge-stopping keeps structure)."""
+    import dataclasses
+
+    import jax
+
+    from vk_gaussian_splatting_tpu.config import RenderConfig, StochasticMode
+    from vk_gaussian_splatting_tpu.render.pipelines import render_3dgs
+    from vk_gaussian_splatting_tpu.scene.cameras import look_at
+    from vk_gaussian_splatting_tpu.scene.splat_set import random_splats
+
+    cfg = RenderConfig(width=64, height=48, sh_degree=0)
+    splats = random_splats(jax.random.key(8), 300, sh_degree=0,
+                           scale_range=(-2.2, -1.0)).prepare()
+    cam = look_at([0, 0, -9], [0, 0, 0], [0, 1, 0], 64, 48, fov_y_rad=0.9)
+
+    ref = np.asarray(render_3dgs(splats, cam, cfg, max_pairs=1 << 16).image)
+
+    scfg = cfg.replace(stochastic=StochasticMode.SPLAT, temporal_samples=2)
+    noisy = np.asarray(render_3dgs(splats, cam, scfg,
+                                   max_pairs=1 << 16).image)
+    den = np.asarray(render_3dgs(splats, cam, scfg.replace(denoise="atrous"),
+                                 max_pairs=1 << 16).image)
+
+    def mse(a):
+        return float(np.mean((a - ref) ** 2))
+
+    assert mse(den) < 0.7 * mse(noisy), (mse(den), mse(noisy))
+
+    # edge-stop sanity: denoising an already-clean render is near-identity
+    clean_den = np.asarray(render_3dgs(
+        splats, cam, cfg.replace(denoise="atrous"), max_pairs=1 << 16).image)
+    assert mse(clean_den) < 4e-3, mse(clean_den)

@@ -156,7 +156,8 @@ def test_binning_pairs_against_numpy():
     prepared = splats.prepare()
     cam = look_at([0, 0, -8], [0, 0, 0], [0, 1, 0], cfg.width, cfg.height)
     proj = project_splats(prepared, cam, cfg)
-    bins = bin_splats(proj, gs_attr_rows(proj), tile_size=16, tiles_x=4,
+    bins = bin_splats(proj, gs_attr_rows(proj), wide_id=True,
+                      tile_size=16, tiles_x=4,
                       tiles_y=4, chunk=128, slots_k=16)
     assert not bool(bins.overflow)
 

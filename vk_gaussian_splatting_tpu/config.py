@@ -189,6 +189,12 @@ class RenderConfig:
     splat_scale: float = 1.0      # global splat scale multiplier (FrameInfo.splatScale)
     stochastic: StochasticMode = StochasticMode.NONE
     temporal_samples: int = 1     # temporal accumulation frames (post.comp.slang)
+    # guided spatial denoiser for stochastic/DoF frames: "atrous" runs the
+    # edge-aware a-trous filter (ops/denoise.py) over the renderer's own
+    # guide buffers after temporal accumulation — the capability slot of
+    # the reference's DLSS-RR (dlss_wrapper.cpp; NGX itself is vendor-
+    # locked). "none" = plain temporal averaging only.
+    denoise: str = "none"
     opacity_gain: float = 1.0
     show_sh_only: bool = False    # visualize SH radiance without base color (FrameInfo.showShOnly)
     raster: RasterConfig = RasterConfig()

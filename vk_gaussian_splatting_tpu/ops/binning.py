@@ -169,6 +169,9 @@ def _bin_impl(
     classes: bool = True,          # class-based slot budgets (see 2a)
     need_pos: bool = True,         # carry the pair position payload
                                    # (only the custom-VJP fwd needs it)
+    wide_id: bool = False,         # last TWO rows are (id_lo, id_hi) with
+                                   # id = hi * 4096 + lo (gs2d wide ids,
+                                   # exact past 2^24 — ops/response.py)
 ):
     num_tiles = tiles_x * tiles_y
     if num_tiles >= 0x3FFF:
@@ -271,8 +274,13 @@ def _bin_impl(
             y0s = (w_rect_s >> 16) & 0xFF
             x1s = (w_rect_s >> 8) & 0xFF
             y1s = w_rect_s & 0xFF
-            # bwd un-sorts gradients by the carried id row (last attr row)
-            sids = rows_s[r - 1].astype(jnp.int32)
+            # bwd un-sorts gradients by the carried id row(s): the last
+            # attr row, or (id_hi, id_lo) combined for wide-id layouts
+            if wide_id:
+                sids = (rows_s[r - 1].astype(jnp.int32) * 4096
+                        + rows_s[r - 2].astype(jnp.int32))
+            else:
+                sids = rows_s[r - 1].astype(jnp.int32)
 
             def region(lo, hi, k):
                 sl = slice(lo, hi)
@@ -357,9 +365,12 @@ def _bin_impl(
     attrs = jnp.concatenate(parts, axis=0)
 
     pair_valid = tile_sorted < num_tiles
-    # last attribute row is the splat id by convention (see module docstring)
-    splat_sorted = jnp.where(pair_valid, rows_sorted[r - 1].astype(jnp.int32),
-                             0)
+    # last attribute row is the splat id by convention (see module
+    # docstring); wide-id layouts carry (id_lo, id_hi) in the last two
+    sid_sorted = (rows_sorted[r - 1].astype(jnp.int32) * 4096
+                  + rows_sorted[r - 2].astype(jnp.int32)) if wide_id \
+        else rows_sorted[r - 1].astype(jnp.int32)
+    splat_sorted = jnp.where(pair_valid, sid_sorted, 0)
 
     # ---- 4. per-tile segments + blend schedule (small arrays only) ---------
     tile_starts = jnp.searchsorted(
@@ -502,7 +513,8 @@ _bin_slots.defvjp(_bin_slots_fwd, _bin_slots_bwd)
 
 @partial(jax.jit, static_argnames=("tile_size", "tiles_x", "tiles_y", "chunk",
                                    "slots_k", "max_pairs", "sched_budget",
-                                   "front_to_back", "expansion", "classes"))
+                                   "front_to_back", "expansion", "classes",
+                                   "wide_id"))
 def bin_splats(
     proj: ProjectedSplats,
     attr_rows: jax.Array,
@@ -517,11 +529,12 @@ def bin_splats(
     front_to_back: bool = True,
     expansion: str = "slots",
     classes: bool = True,
+    wide_id: bool = False,
 ) -> TileBins:
     kw = dict(tile_size=tile_size, tiles_x=tiles_x, tiles_y=tiles_y,
               chunk=chunk, slots_k=slots_k, max_pairs=max_pairs,
               sched_budget=sched_budget, front_to_back=front_to_back,
-              expansion=expansion, classes=classes)
+              expansion=expansion, classes=classes, wide_id=wide_id)
     if expansion == "slots":
         return _bin_slots(proj, attr_rows, tuple(sorted(kw.items())))
     bins, _, _ = _bin_impl(proj, attr_rows, need_pos=False, **kw)

@@ -82,6 +82,7 @@ from vk_gaussian_splatting_tpu.ops.response import (
     DEPTH_ROW,
     GSP_SORTD,
     GUT_DEPTH,
+    ID_HI_ROW,
     ID_ROW,
     NUM_ROWS,
     USES_PIX_CTX,
@@ -398,6 +399,7 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
     key_row = KEY_ROW[st.model]
     drow = DEPTH_ROW[st.model]
     idrow = ID_ROW[st.model]
+    idrow_hi = ID_HI_ROW.get(st.model)  # wide-id layouts only
     r_buf = buf_rows(st.model)
     color_fn = COLOR_FNS.get(st.model,
                              lambda blk: blk[ATTR_R:ATTR_B + 1, :])
@@ -579,11 +581,15 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
         pick_init = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (PIX, 4), 1) < n_thr,
             1e30, 0.0)
+        # pick_id cols: (id_lo, id_hi); unpicked = (-1, 0) reconstructs -1
+        pick_id_init = jnp.concatenate(
+            [jnp.full((PIX, 1), -1.0, jnp.float32),
+             jnp.zeros((PIX, 1), jnp.float32)], axis=1)
         for t in range(TPT) if "blend" not in abl else ():
             acc[t] = jnp.zeros((PIX, 3), jnp.float32)
             t_col[t] = jnp.ones((PIX, 1), jnp.float32)
             pick_d[t] = pick_init
-            pick_id[t] = jnp.full((PIX, 1), -1.0, jnp.float32)
+            pick_id[t] = pick_id_init
         pxy = [_tile_pixel_coords(tids[t], st.tiles_x) for t in range(TPT)]
         if uses_pix:
             for t in range(TPT):
@@ -663,7 +669,14 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                     id_sel = jnp.sum(
                         jnp.where(sel, block[idrow:idrow + 1, :], 0.0),
                         axis=1, keepdims=True)
-                    pick_id[t] = jnp.where(upd, id_sel, pick_id[t])
+                    pick_id[t, :, 0:1] = jnp.where(upd, id_sel,
+                                                   pick_id[t, :, 0:1])
+                    if idrow_hi is not None:
+                        hi_sel = jnp.sum(jnp.where(
+                            sel, block[idrow_hi:idrow_hi + 1, :], 0.0),
+                            axis=1, keepdims=True)
+                        pick_id[t, :, 1:2] = jnp.where(upd, hi_sel,
+                                                       pick_id[t, :, 1:2])
                 pick_d[t, :, i:i + 1] = jnp.where(upd, d_sel,
                                                   pick_d[t, :, i:i + 1])
             t_col[t] = jnp.where(active,
@@ -709,9 +722,10 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
             if st.multi_iso:
                 aux = jnp.transpose(pd)
             else:
+                # rows 4-7: depth, id(_lo), id_hi, zero
                 aux = jnp.concatenate(
                     [jnp.transpose(pd[:, 0:1]), jnp.transpose(pick_id[t]),
-                     jnp.zeros((OUT_COLS - 6, PIX), jnp.float32)], axis=0)
+                     jnp.zeros((OUT_COLS - 7, PIX), jnp.float32)], axis=0)
             outbuf2[slot, t] = jnp.concatenate(
                 [jnp.transpose(acc[t]), jnp.transpose(t_col[t]), aux],
                 axis=0)
@@ -764,7 +778,7 @@ def _bucket_call(st: RasterStatics, caps: tuple, n_pad: int):
         pltpu.VMEM((TPT, PIX, 3), jnp.float32),            # acc
         pltpu.VMEM((TPT, PIX, 1), jnp.float32),            # t_col
         pltpu.VMEM((TPT, PIX, 4), jnp.float32),            # pick_d
-        pltpu.VMEM((TPT, PIX, 1), jnp.float32),            # pick_id
+        pltpu.VMEM((TPT, PIX, 2), jnp.float32),            # pick_id (lo,hi)
         pltpu.VMEM((2, TPT, OUT_COLS, PIX), jnp.float32),  # outbuf
     ]
     if uses_pix:
@@ -816,6 +830,7 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
     key_row = KEY_ROW[st.model]
     drow = DEPTH_ROW[st.model]
     idrow = ID_ROW[st.model]
+    idrow_hi = ID_HI_ROW.get(st.model)
     r_buf = buf_rows(st.model)
     color_rows = (ATTR_R, ATTR_B)
     depth_fn = DEPTH_FNS.get(st.model, lambda blk: blk[drow:drow + 1, :])
@@ -1002,6 +1017,9 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                 k *= 2
         # the sort-key/id rows carry bookkeeping values, not gradients
         dwork[idrow:idrow + 1, :] = jnp.zeros((1, c_sort), jnp.float32)
+        if idrow_hi is not None:
+            dwork[idrow_hi:idrow_hi + 1, :] = jnp.zeros((1, c_sort),
+                                                        jnp.float32)
         dwork[key_row:key_row + 1, :] = jnp.zeros((1, c_sort), jnp.float32)
         if drow < r_buf and drow != key_row:
             # depth cotangents are dropped (aux picks are not differentiated)
@@ -1190,20 +1208,29 @@ def _br_bwd(statics, res, g):
     d_blocked = _bucket_bwd_call(st, caps, n_pad)(*args)   # (NB, R, 128)
     d_bucket = d_blocked.transpose(1, 0, 2).reshape(-1, n_pad)
 
-    # un-sort to splat order by the id row carried in the sorted attrs.
+    # un-sort to splat order by the id row(s) carried in the sorted attrs.
     # Every splat appears exactly NUM_SLOTS times among the first 4N columns
     # (the fine duplication streams carry the id even in sentinel slots), so
     # sorting by id groups each splat's slot gradients into NUM_SLOTS
-    # adjacent columns — a reshape-sum reduces them. Trailing DMA-pad
-    # columns sort behind the 2^24 id bound.
+    # adjacent columns — a reshape-sum reduces them. Wide-id layouts sort
+    # lexicographically by (hi, lo), exact past 2^24; trailing DMA-pad
+    # columns get keys behind every real id.
     from vk_gaussian_splatting_tpu.ops.binning import _key_sort
     from vk_gaussian_splatting_tpu.ops.bucket_grid import NUM_SLOTS
+    from vk_gaussian_splatting_tpu.ops.response import ID_HI_ROW
+    idrow_hi = ID_HI_ROW.get(st.model)
     n4 = NUM_SLOTS * n
     col = jnp.arange(n_pad, dtype=jnp.int32)
     id_flat = bins.attrs[:, idrow, :].reshape(n_pad)
     idkey = jnp.where(col < n4, id_flat.astype(jnp.float32),
                       jnp.float32(1 << 25))
-    _, unsorted = _key_sort((idkey,), tuple(d_bucket[i] for i in range(r)))
+    keys = (idkey,)
+    if idrow_hi is not None:
+        hi_flat = bins.attrs[:, idrow_hi, :].reshape(n_pad)
+        hikey = jnp.where(col < n4, hi_flat.astype(jnp.float32),
+                          jnp.float32(1 << 25))
+        keys = (hikey, idkey)
+    _, unsorted = _key_sort(keys, tuple(d_bucket[i] for i in range(r)))
     d_rows = jnp.stack(unsorted, axis=0)[:, :n4].reshape(
         r, n, NUM_SLOTS).sum(axis=2)
 

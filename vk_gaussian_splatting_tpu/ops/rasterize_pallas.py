@@ -58,6 +58,7 @@ from vk_gaussian_splatting_tpu.ops.response import (
     COLOR_FNS,
     DEPTH_FNS,
     DEPTH_ROW,
+    ID_HI_ROW,
     ID_ROW,
     USES_PIX_CTX,
 )
@@ -201,6 +202,7 @@ def _make_fwd_kernel(st: RasterStatics):
     uses_pix = USES_PIX_CTX[st.model]
     drow = DEPTH_ROW[st.model]
     idrow = ID_ROW[st.model]
+    idrow_hi = ID_HI_ROW.get(st.model)  # wide-id layouts only
     color_fn = COLOR_FNS.get(st.model,
                              lambda blk: blk[ATTR_R:ATTR_B + 1, :])
     depth_fn = DEPTH_FNS.get(st.model, lambda blk: blk[drow:drow + 1, :])
@@ -250,7 +252,11 @@ def _make_fwd_kernel(st: RasterStatics):
                 acc[:, :] = jnp.zeros((PIX, 3), jnp.float32)
                 t_col[:, :] = jnp.ones((PIX, 1), jnp.float32)
                 pick_d[:, :] = jnp.full((PIX, 4), 1e30, jnp.float32)
-                pick_id[:, :] = jnp.full((PIX, 1), -1.0, jnp.float32)
+                # col 0 = id (or id_lo), col 1 = id_hi (wide layouts);
+                # unpicked = (-1, 0) so lo + 4096*hi reconstructs to -1
+                pick_id[:, :] = jnp.concatenate(
+                    [jnp.full((PIX, 1), -1.0, jnp.float32),
+                     jnp.zeros((PIX, 1), jnp.float32)], axis=1)
                 if uses_pix:
                     copy = pltpu.make_async_copy(pixctx_ref.at[t], pixraw,
                                                  psem)
@@ -315,7 +321,14 @@ def _make_fwd_kernel(st: RasterStatics):
                         id_sel = jnp.sum(
                             jnp.where(sel, block[idrow:idrow + 1, :], 0.0),
                             axis=1, keepdims=True)
-                        pick_id[:, :] = jnp.where(upd, id_sel, pick_id[:, :])
+                        pick_id[:, 0:1] = jnp.where(upd, id_sel,
+                                                    pick_id[:, 0:1])
+                        if idrow_hi is not None:
+                            hi_sel = jnp.sum(jnp.where(
+                                sel, block[idrow_hi:idrow_hi + 1, :], 0.0),
+                                axis=1, keepdims=True)
+                            pick_id[:, 1:2] = jnp.where(upd, hi_sel,
+                                                        pick_id[:, 1:2])
                     pick_d[:, i:i + 1] = jnp.where(upd, d_sel,
                                                    pick_d[:, i:i + 1])
 
@@ -329,10 +342,11 @@ def _make_fwd_kernel(st: RasterStatics):
                 if st.multi_iso:
                     aux = jnp.transpose(pd)                      # rows 4-7
                 else:
+                    # rows 4-7: depth, id(_lo), id_hi, zero
                     aux = jnp.concatenate(
                         [jnp.transpose(pd[:, 0:1]),
                          jnp.transpose(pick_id[:, :]),
-                         jnp.zeros((OUT_COLS - 6, PIX), jnp.float32)], axis=0)
+                         jnp.zeros((OUT_COLS - 7, PIX), jnp.float32)], axis=0)
                 outbuf[:, :] = jnp.concatenate(
                     [jnp.transpose(acc[:, :]), jnp.transpose(t_col[:, :]),
                      aux], axis=0
@@ -476,7 +490,7 @@ def _fwd_call(st: RasterStatics, p_alloc: int, s_cap: int):
         pltpu.VMEM((PIX, 3), jnp.float32),         # acc
         pltpu.VMEM((PIX, 1), jnp.float32),         # t_col
         pltpu.VMEM((PIX, 4), jnp.float32),         # pick_d
-        pltpu.VMEM((PIX, 1), jnp.float32),         # pick_id
+        pltpu.VMEM((PIX, 2), jnp.float32),         # pick_id (lo, hi)
         pltpu.VMEM((OUT_COLS, PIX), jnp.float32),  # outbuf
         pltpu.VMEM((2, NUM_ATTRS, st.chunk), jnp.float32),  # ablock x2
     ]
@@ -651,5 +665,10 @@ def assemble_image(out: jax.Array, seg_counts: jax.Array,
     if not with_aux:
         return img, trans
     depth = full[:height, :width, 4]
-    splat_id = full[:height, :width, 5].astype(jnp.int32)
+    # wide-id layouts carry (lo, hi) in rows 5-6 (id = hi * 4096 + lo);
+    # single-row layouts leave row 6 zero, so the reconstruction is shared.
+    # Combine in INTEGER space: each row is f32-exact but their f32 SUM
+    # rounds to even above 2^24 (the bound this encoding removes)
+    splat_id = (full[:height, :width, 5].astype(jnp.int32)
+                + 4096 * full[:height, :width, 6].astype(jnp.int32))
     return img, trans, depth, splat_id
