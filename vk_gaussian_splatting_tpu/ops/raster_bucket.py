@@ -1,12 +1,18 @@
 """Pallas TPU bucket-neighborhood tile rasterizer (forward).
 
 Companion to ops/bucket_grid.py: instead of blending a pre-sorted pair list
-(ops/rasterize_pallas.py), each grid step renders one 16x16 tile end-to-end:
+(ops/rasterize_pallas.py), each grid step renders TPT 16x16 tiles
+end-to-end. The grid is (mid-cell, step-within-cell): a 64-px mid cell =
+4x4 tiles that share their mid/coarse/global window spans exactly (the
+shifted pair grids are 16-aligned), so the kernel DMAs those SHARED spans
+once per cell (double-buffered across cells) and only the per-tile fine
+span per step — the r4 per-tile form spent most of the frame on DMA
+issue/wait machinery (~22 starts/step). Per step:
 
-1. DMA the tile's 6 single-bucket window spans (its exact fine bucket,
-   2 mid + 2 coarse pair buckets, the global bucket) from the
-   (bucket, depth)-sorted splat array — contiguous slices, 128-aligned by
-   rounding the start down and masking the head lanes;
+1. DMA the tiles' fine spans (the shared spans already sit in the cell
+   staging buffer) from the (bucket, depth)-sorted splat array —
+   contiguous slices, 128-aligned by rounding the start down and masking
+   the head lanes;
 2. build the sort key row: the model's view depth for live lanes, -inf for
    alignment-head lanes (so each span stays one ascending run), +inf for
    tail/pad lanes;
@@ -92,6 +98,13 @@ DEAD_KEY = 1e30  # sentinel depth for masked lanes (sorts last, never picked)
 TPT = 2          # tiles per grid step (compiled): their bitonic stages
                  # interleave so the VLIW scheduler fills each chain's
                  # latency bubbles (TPT=4 spills registers and is slower)
+CELL_T = 4       # tiles per mid-cell side: a 64-px mid cell = 4x4 tiles,
+                 # which all share the SAME mid/coarse/global window spans
+                 # (bucket_grid's shifted pair grids are 16-aligned), so the
+                 # kernel grid iterates (cell, step-within-cell) and DMAs
+                 # the shared spans ONCE per cell instead of per tile —
+                 # the r4 driver frame was dominated by per-step DMA
+                 # issue/wait machinery (~39 us/step at 22 starts/step)
 
 
 def _tpt(st) -> int:
@@ -392,6 +405,29 @@ def _ablate() -> frozenset:
                             os.environ.get("VKGS_ABLATE", "").split(",")))
 
 
+def _run_split(caps: tuple):
+    """Partition the merge-layout runs into (fine, shared) with their
+    staging-buffer block offsets: fine runs re-DMA per tile; shared runs
+    (mid/coarse/global — identical for all 16 tiles of a mid cell) DMA once
+    per cell. Returns (fine_runs, fine_offs, f_total, shared_runs,
+    shared_offs, s_total); runs keep their merge-layout index j so assembly
+    can place blocks at offs[j]."""
+    runs, _offs, _c = _span_offsets(caps)
+    fine, shared = [], []
+    f_offs, s_offs = {}, {}
+    fo = so = 0
+    for j, (sp, src, sz) in enumerate(runs):
+        if sp == 0:
+            fine.append((j, sp, src, sz))
+            f_offs[j] = fo
+            fo += sz
+        else:
+            shared.append((j, sp, src, sz))
+            s_offs[j] = so
+            so += sz
+    return fine, f_offs, fo, shared, s_offs, so
+
+
 def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
     TPT = _tpt(st)  # noqa: N806 — shadows the module constant deliberately
     abl = _ablate()
@@ -410,58 +446,92 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
     c_sort = c_total if merge_ok else _next_pow2(c_total)
     bounds = _chunk_bounds(c_sort, st.chunk)
     n_chunks = len(bounds)
-    c_blk = c_total // 128  # candidate blocks (block-tiled attrs layout)
+    fine_runs, f_offs, f_total, shared_runs, s_offs, s_total = \
+        _run_split(caps)
+    f_blk, s_blk = f_total // 128, s_total // 128
+    spc = (CELL_T * CELL_T) // TPT      # steps per cell
+    ccx = -(-spec.tiles_x // CELL_T)
+    ccy = -(-spec.tiles_y // CELL_T)
+    n_steps = ccx * ccy * spc           # static total step count
 
-    def issue_dmas(attrs_ref, cand2, base, sems, spans):
-        # attrs is block-tiled (NB, R, 128): each run is ONE contiguous
-        # HBM region (the row-major layout cost 16 strided reads per DMA
-        # and left the kernel DMA-bound — BucketBins docstring). The
-        # staging buffer is flat (2*TPT*c_blk, R, 128): a single dynamic
-        # leading-dim slice per DMA, the canonical Mosaic pattern (the 5D
-        # slot/tile-indexed form faulted the TPU worker).
-        for j, (sp, so, sz) in enumerate(runs):
-            s = spans[sp][0]
-            blk = s // 128 + so // 128
-            pltpu.make_async_copy(
-                attrs_ref.at[pl.ds(blk, sz // 128)],
-                cand2.at[pl.ds(base + offs[j] // 128, sz // 128)],
-                sems.at[j],
-            ).start()
+    def tile_of(cell, k):
+        """Tile id of in-cell tile k; partial cells clamp (duplicate tiles
+        recompute identical content — benign, as the old final-step clamp)."""
+        cx = jax.lax.rem(cell, ccx)
+        cy = cell // ccx
+        tx = jnp.minimum(cx * CELL_T + jax.lax.rem(k, CELL_T),
+                         spec.tiles_x - 1)
+        ty = jnp.minimum(cy * CELL_T + k // CELL_T, spec.tiles_y - 1)
+        return ty * spec.tiles_x + tx
 
     def kernel(seed_ref, bstarts_ref, attrs_ref, *rest):
         if uses_pix:
-            (pixctx_ref, out_ref, cand2, work, acc, t_col, pick_d, pick_id,
-             outbuf2, pixraw, pixscr, sems, osem, psem) = rest
+            (pixctx_ref, out_ref, finebuf, sharedbuf, work, acc, t_col,
+             pick_d, pick_id, outbuf2, pixraw, pixscr, fsem, ssem, osem,
+             psem) = rest
         else:
-            (out_ref, cand2, work, acc, t_col, pick_d, pick_id, outbuf2,
-             sems, osem) = rest
+            (out_ref, finebuf, sharedbuf, work, acc, t_col, pick_d, pick_id,
+             outbuf2, fsem, ssem, osem) = rest
             pixscr = None
-        j = pl.program_id(0)
-        n_steps = pl.num_programs(0)
-        n_tiles = spec.tiles_x * spec.tiles_y
+        cell = pl.program_id(0)
+        sub = pl.program_id(1)
+        j = cell * spc + sub            # global step (output rotation etc.)
         slot = jax.lax.rem(j, 2)
-        tids = [jnp.minimum(j * TPT + t, n_tiles - 1) for t in range(TPT)]
+        cslot = jax.lax.rem(cell, 2)
+        tids = [tile_of(cell, sub * TPT + t) for t in range(TPT)]
         spans_t = [_tile_spans(spec, bstarts_ref, tid) for tid in tids]
 
-        bases = [(slot * TPT + t) * c_blk for t in range(TPT)]
+        # staging buffers stay FLAT 3D (leading-dim dynamic slices are the
+        # canonical Mosaic DMA pattern; 5D slot/tile-indexed forms faulted
+        # the TPU worker). attrs is block-tiled (NB, R, 128) so every run
+        # is ONE contiguous HBM region.
+        def issue_fine(cell_, k, dslot, t, sems):
+            tid = tile_of(cell_, k)
+            s = bstarts_ref[tid]        # fine bucket id == tile id
+            for i, (jr, _sp, src, sz) in enumerate(fine_runs):
+                pltpu.make_async_copy(
+                    attrs_ref.at[pl.ds(s // 128 + src // 128, sz // 128)],
+                    finebuf.at[pl.ds((dslot * TPT + t) * f_blk
+                                     + f_offs[jr] // 128, sz // 128)],
+                    sems.at[i],
+                ).start()
+
+        def issue_shared(cell_, dslot, sems):
+            spans = _tile_spans(spec, bstarts_ref, tile_of(cell_, 0))
+            for i, (jr, sp, src, sz) in enumerate(shared_runs):
+                s = spans[sp][0]
+                pltpu.make_async_copy(
+                    attrs_ref.at[pl.ds(s // 128 + src // 128, sz // 128)],
+                    sharedbuf.at[pl.ds(dslot * s_blk + s_offs[jr] // 128,
+                                       sz // 128)],
+                    sems.at[i],
+                ).start()
+
         if "dma" not in abl:
             @pl.when(j == 0)
             def _warmup():
+                issue_shared(cell, 0, ssem.at[0])
                 for t in range(TPT):
-                    issue_dmas(attrs_ref, cand2, t * c_blk, sems.at[0, t],
-                               spans_t[t])
+                    issue_fine(cell, sub * TPT + t, slot, t,
+                               fsem.at[slot, t])
 
-            # prefetch the next step's tiles into the other buffer pair
-            nxt = jnp.minimum(j + 1, n_steps - 1)
+            # fine prefetch: next step's tiles into the other slot pair
+            nsub = sub + 1
+            ncell = jnp.minimum(cell + jnp.where(nsub == spc, 1, 0),
+                                ccx * ccy - 1)
+            nsub = jax.lax.rem(nsub, spc)
 
             @pl.when(j + 1 < n_steps)
-            def _prefetch():
+            def _prefetch_fine():
                 for t in range(TPT):
-                    tid = jnp.minimum(nxt * TPT + t, n_tiles - 1)
-                    issue_dmas(attrs_ref, cand2,
-                               ((1 - slot) * TPT + t) * c_blk,
-                               sems.at[1 - slot, t],
-                               _tile_spans(spec, bstarts_ref, tid))
+                    issue_fine(ncell, nsub * TPT + t, 1 - slot, t,
+                               fsem.at[1 - slot, t])
+
+            # shared prefetch: next cell's spans during this cell's last
+            # step (slot 1-cslot is idle — its last reader was cell-1)
+            @pl.when((sub == spc - 1) & (cell + 1 < ccx * ccy))
+            def _prefetch_shared():
+                issue_shared(cell + 1, 1 - cslot, ssem.at[1 - cslot])
 
             for t in range(TPT):
                 # NB: loop var must NOT be named j — that shadows the
@@ -470,12 +540,20 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                 # resulting unmatched semaphore waits crashed the TPU
                 # worker (interpret-mode semaphores are simulated, so CPU
                 # tests could not catch it)
-                for jr, (_sp, _so, sz) in enumerate(runs):
+                for i, (_jr, _sp, _src, sz) in enumerate(fine_runs):
                     pltpu.make_async_copy(
                         attrs_ref.at[pl.ds(0, sz // 128)],  # shape-only
-                        cand2.at[pl.ds(bases[t] + offs[jr] // 128,
-                                       sz // 128)],
-                        sems.at[slot, t, jr],
+                        finebuf.at[pl.ds(0, sz // 128)],
+                        fsem.at[slot, t, i],
+                    ).wait()
+
+            @pl.when(sub == 0)
+            def _wait_shared():
+                for i, (_jr, _sp, _src, sz) in enumerate(shared_runs):
+                    pltpu.make_async_copy(
+                        attrs_ref.at[pl.ds(0, sz // 128)],  # shape-only
+                        sharedbuf.at[pl.ds(0, sz // 128)],
+                        ssem.at[cslot, i],
                     ).wait()
 
         if uses_pix:
@@ -486,13 +564,23 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                 pc.start()
                 pcopies.append(pc)
 
-        # assemble the flat (r_buf, c_sort) work buffer from the block-tiled
-        # staging copies (statically-addressed: Mosaic vector ops cannot
-        # read-modify-write through a dynamically indexed buffer slot)
+        # assemble the flat (r_buf, c_sort) work buffer from the staged
+        # blocks (statically-addressed writes; reads use dynamic leading
+        # indices into the flat staging arrays)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, c_sort), 1)
         for t in range(TPT) if "assembly" not in abl else ():
-            for b in range(c_blk):
-                work[t, :, b * 128:(b + 1) * 128] = cand2[bases[t] + b]
+            fbase = (slot * TPT + t) * f_blk
+            for (jr, _sp, _src, sz) in fine_runs:
+                for b in range(sz // 128):
+                    o = offs[jr] + b * 128
+                    work[t, :, o:o + 128] = finebuf[
+                        fbase + f_offs[jr] // 128 + b]
+            sbase = cslot * s_blk
+            for (jr, _sp, _src, sz) in shared_runs:
+                for b in range(sz // 128):
+                    o = offs[jr] + b * 128
+                    work[t, :, o:o + 128] = sharedbuf[
+                        sbase + s_offs[jr] // 128 + b]
             if c_total < c_sort:
                 # lanes [c_total, c_sort) are never DMA'd: zero them so
                 # stale VMEM garbage (NaN/Inf bit patterns) cannot poison
@@ -760,20 +848,22 @@ def _bucket_call(st: RasterStatics, caps: tuple, n_pad: int):
     spec = BucketGridSpec.build(st.tiles_x, st.tiles_y)
     TPT = _tpt(st)  # noqa: N806
     num_tiles = st.tiles_x * st.tiles_y
-    n_steps = -(-num_tiles // TPT)
     uses_pix = USES_PIX_CTX[st.model]
     r_buf = buf_rows(st.model)
-    n_runs = len(_span_runs(caps))
     c_sort = _sort_width(caps)
-    _runs0, _offs0, c_total = _span_offsets(caps)
-    c_blk = c_total // 128
+    _f_runs, _fo, f_total, _s_runs, _so, s_total = _run_split(caps)
+    spc = (CELL_T * CELL_T) // TPT
+    n_cells = (-(-st.tiles_x // CELL_T)) * (-(-st.tiles_y // CELL_T))
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
         pl.BlockSpec(memory_space=pltpu.SMEM),   # bucket starts
         pl.BlockSpec(memory_space=pltpu.HBM),    # attrs (blocked)
     ]
     scratch = [
-        pltpu.VMEM((2 * TPT * c_blk, r_buf, 128), jnp.float32),  # staging
+        pltpu.VMEM((2 * TPT * (f_total // 128), r_buf, 128),
+                   jnp.float32),                           # fine staging
+        pltpu.VMEM((2 * (s_total // 128), r_buf, 128),
+                   jnp.float32),                           # shared staging
         pltpu.VMEM((TPT, r_buf, c_sort), jnp.float32),     # work
         pltpu.VMEM((TPT, PIX, 3), jnp.float32),            # acc
         pltpu.VMEM((TPT, PIX, 1), jnp.float32),            # t_col
@@ -786,18 +876,20 @@ def _bucket_call(st: RasterStatics, caps: tuple, n_pad: int):
         scratch += [
             pltpu.VMEM((TPT, OUT_COLS, PIX), jnp.float32),  # pixraw
             pltpu.VMEM((TPT, PIX, OUT_COLS), jnp.float32),  # pixscr
-            pltpu.SemaphoreType.DMA((2, TPT, n_runs)),
+            pltpu.SemaphoreType.DMA((2, TPT, len(_f_runs))),
+            pltpu.SemaphoreType.DMA((2, len(_s_runs))),
             pltpu.SemaphoreType.DMA((2, TPT)),
             pltpu.SemaphoreType.DMA((TPT,)),
         ]
     else:
         scratch += [
-            pltpu.SemaphoreType.DMA((2, TPT, n_runs)),
+            pltpu.SemaphoreType.DMA((2, TPT, len(_f_runs))),
+            pltpu.SemaphoreType.DMA((2, len(_s_runs))),
             pltpu.SemaphoreType.DMA((2, TPT)),
         ]
     return pl.pallas_call(
         _make_kernel(st, caps, spec),
-        grid=(n_steps,),
+        grid=(n_cells, spc),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=scratch,
@@ -819,13 +911,22 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
     kernel's forward-order gradient sweep into a d buffer, restore d to span
     layout, and RMW-accumulate each span back into the global d_attrs array.
 
+    Grid = (cell, in-cell tile): the 16 tiles of a mid cell share their
+    mid/coarse/global spans, so the cell reads them ONCE into a shared
+    staging buffer and ACCUMULATES their gradients in VMEM across the
+    cell's tiles, RMW-ing d_attrs once per cell (the per-tile form spent
+    ~44 DMAs/tile on shared-span RMW round-trips). Fine spans stay
+    per-tile. Partial cells gate duplicate tiles off (a duplicate would
+    double-count gradients — unlike the forward's benign identical writes).
+
     The restore step depends on the forward's ordering network: the OEM
     merge path RECORDS each stage's exchange mask and replays the stages in
     reverse on d (a permutation network inverts by reverse replay with the
     same swap set); the bitonic fallback carries the pre-sort lane index in
-    the id row and bitonic-sorts d back by it. Neighboring tiles' windows
-    overlap in source columns; the sequential grid + additive RMW make that
-    safe (dead lanes carry zero d)."""
+    the id row and bitonic-sorts d back by it. Neighboring cells' windows
+    overlap in source columns (the dy-overlapping pair rows); the
+    sequential grid + additive RMW make that safe (dead lanes carry
+    zero d)."""
     uses_pix = USES_PIX_CTX[st.model]
     key_row = KEY_ROW[st.model]
     drow = DEPTH_ROW[st.model]
@@ -840,6 +941,11 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
     c_sort = c_total if merge_ok else _next_pow2(c_total)
     bounds = _chunk_bounds(c_sort, st.chunk)
     n_chunks = len(bounds)
+    fine_runs, f_offs, f_total, shared_runs, s_offs, s_total = \
+        _run_split(caps)
+    s_blk = s_total // 128
+    ccx = -(-spec.tiles_x // CELL_T)
+    tiles_per_cell = CELL_T * CELL_T
 
     def kernel(seed_ref, bstarts_ref, attrs_ref, ctx_hbm_ref, zeros_ref,
                *rest):
@@ -847,204 +953,267 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
         if merge_ok:
             rest, takes = rest[:-1], rest[-1]  # last scratch: exchange log
         if uses_pix:
-            (pixctx_ref, dattrs_ref, work, stage, dwork, rmw, t_col, s_run,
-             ctx, pixraw, pixscr, sems, dsem, csem, psem) = rest
+            (pixctx_ref, dattrs_ref, work, stage, sstage, dshared, dwork,
+             rmw, t_col, s_run, ctx, pixraw, pixscr, sems, ssems, dsem,
+             csem, psem) = rest
         else:
-            (dattrs_ref, work, stage, dwork, rmw, t_col, s_run, ctx, sems,
-             dsem, csem) = rest
+            (dattrs_ref, work, stage, sstage, dshared, dwork, rmw, t_col,
+             s_run, ctx, sems, ssems, dsem, csem) = rest
             pixscr = None
-        j = pl.program_id(0)
+        cell = pl.program_id(0)
+        sub = pl.program_id(1)
+        cx = jax.lax.rem(cell, ccx)
+        cy = cell // ccx
+        tx = cx * CELL_T + jax.lax.rem(sub, CELL_T)
+        ty = cy * CELL_T + sub // CELL_T
+        real = (tx < spec.tiles_x) & (ty < spec.tiles_y)
+        j = (jnp.minimum(ty, spec.tiles_y - 1) * spec.tiles_x
+             + jnp.minimum(tx, spec.tiles_x - 1))  # tile id (clamped)
         spans = _tile_spans(spec, bstarts_ref, j)
 
-        for jr, (sp, so, sz) in enumerate(runs):
-            s = spans[sp][0]
-            blk = s // 128 + so // 128
-            pltpu.make_async_copy(
-                attrs_ref.at[pl.ds(blk, sz // 128)],
-                stage.at[pl.ds(offs[jr] // 128, sz // 128)],
-                sems.at[jr],
-            ).start()
-        ccopy = pltpu.make_async_copy(ctx_hbm_ref.at[j], ctx, csem)
-        ccopy.start()
-        if uses_pix:
-            pcopy = pltpu.make_async_copy(pixctx_ref.at[j], pixraw, psem)
-            pcopy.start()
-        for jr, (_sp, _so, sz) in enumerate(runs):
-            pltpu.make_async_copy(
-                attrs_ref.at[pl.ds(0, sz // 128)],
-                stage.at[pl.ds(offs[jr] // 128, sz // 128)],
-                sems.at[jr],
-            ).wait()
+        @pl.when(sub == 0)
+        def _cell_setup():
+            # shared spans: one read per cell + zeroed gradient accumulator
+            for i, (jr, sp, src, sz) in enumerate(shared_runs):
+                s = spans[sp][0]
+                pltpu.make_async_copy(
+                    attrs_ref.at[pl.ds(s // 128 + src // 128, sz // 128)],
+                    sstage.at[pl.ds(s_offs[jr] // 128, sz // 128)],
+                    ssems.at[i],
+                ).start()
+            for b in range(s_blk):
+                dshared[b] = jnp.zeros((r_buf, 128), jnp.float32)
+            for i, (_jr, _sp, _src, sz) in enumerate(shared_runs):
+                pltpu.make_async_copy(
+                    attrs_ref.at[pl.ds(0, sz // 128)],  # shape-only
+                    sstage.at[pl.ds(0, sz // 128)],
+                    ssems.at[i],
+                ).wait()
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, c_sort), 1)
-        for b in range(c_total // 128):
-            work[:, b * 128:(b + 1) * 128] = stage[b]
-        if c_total < c_sort:
-            # never-DMA'd lanes: zero stale VMEM garbage (see fwd kernel)
-            work[:, c_total:] = jnp.zeros((r_buf, c_sort - c_total),
-                                          jnp.float32)
-        live = jnp.zeros((1, c_sort), jnp.bool_)
-        neg = jnp.zeros((1, c_sort), jnp.bool_)
-        n_live = jnp.int32(0)
-        n_head = jnp.int32(0)
-        heads, neffs = [], []
-        for i, (s, ln) in enumerate(spans):
-            head = s - (s // 128) * 128
-            n_eff = jnp.minimum(ln, ssizes[i] - head)
-            heads.append(head)
-            neffs.append(n_eff)
-            n_live = n_live + n_eff
-            if merge_ok:
-                n_head = n_head + jnp.where(n_eff > 0, head, 0)
-        for jr, (sp, so, sz) in enumerate(runs):
-            head, n_eff = heads[sp], neffs[sp]
-            lo = jnp.clip(head - so, 0, sz)
-            hi = jnp.clip(head + n_eff - so, 0, sz)
-            live = live | ((lane >= offs[jr] + lo) & (lane < offs[jr] + hi))
-            if merge_ok:
-                neg = neg | ((lane >= offs[jr]) & (lane < offs[jr] + lo)
-                             & (n_eff > 0))
-        if not merge_ok:
+        @pl.when(real)
+        def _tile_body():
+            for i, (jr, _sp, src, sz) in enumerate(fine_runs):
+                s = spans[0][0]
+                pltpu.make_async_copy(
+                    attrs_ref.at[pl.ds(s // 128 + src // 128, sz // 128)],
+                    stage.at[pl.ds(f_offs[jr] // 128, sz // 128)],
+                    sems.at[i],
+                ).start()
+            ccopy = pltpu.make_async_copy(ctx_hbm_ref.at[j], ctx, csem)
+            ccopy.start()
+            if uses_pix:
+                pcopy = pltpu.make_async_copy(pixctx_ref.at[j], pixraw, psem)
+                pcopy.start()
+            for i, (_jr, _sp, _src, sz) in enumerate(fine_runs):
+                pltpu.make_async_copy(
+                    attrs_ref.at[pl.ds(0, sz // 128)],
+                    stage.at[pl.ds(0, sz // 128)],
+                    sems.at[i],
+                ).wait()
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, c_sort), 1)
+            for (jr, _sp, _src, sz) in fine_runs:
+                for b in range(sz // 128):
+                    o = offs[jr] + b * 128
+                    work[:, o:o + 128] = stage[f_offs[jr] // 128 + b]
+            for (jr, _sp, _src, sz) in shared_runs:
+                for b in range(sz // 128):
+                    o = offs[jr] + b * 128
+                    work[:, o:o + 128] = sstage[s_offs[jr] // 128 + b]
+            if c_total < c_sort:
+                # never-DMA'd lanes: zero stale VMEM garbage (fwd kernel)
+                work[:, c_total:] = jnp.zeros((r_buf, c_sort - c_total),
+                                              jnp.float32)
+            live = jnp.zeros((1, c_sort), jnp.bool_)
+            neg = jnp.zeros((1, c_sort), jnp.bool_)
+            n_live = jnp.int32(0)
             n_head = jnp.int32(0)
-        depth_vals = (work[key_row:key_row + 1, :] if st.key_is_row
-                      else depth_fn(work[:, :]).reshape(1, c_sort))
-        dead = (jnp.where(neg, -DEAD_KEY, DEAD_KEY) if merge_ok
-                else DEAD_KEY)
-        work[key_row:key_row + 1, :] = jnp.where(live, depth_vals, dead)
+            heads, neffs = [], []
+            for i, (s, ln) in enumerate(spans):
+                head = s - (s // 128) * 128
+                n_eff = jnp.minimum(ln, ssizes[i] - head)
+                heads.append(head)
+                neffs.append(n_eff)
+                n_live = n_live + n_eff
+                if merge_ok:
+                    n_head = n_head + jnp.where(n_eff > 0, head, 0)
+            for jr, (sp, so, sz) in enumerate(runs):
+                head, n_eff = heads[sp], neffs[sp]
+                lo = jnp.clip(head - so, 0, sz)
+                hi = jnp.clip(head + n_eff - so, 0, sz)
+                live = live | ((lane >= offs[jr] + lo) & (lane < offs[jr] + hi))
+                if merge_ok:
+                    neg = neg | ((lane >= offs[jr]) & (lane < offs[jr] + lo)
+                                 & (n_eff > 0))
+            if not merge_ok:
+                n_head = jnp.int32(0)
+            depth_vals = (work[key_row:key_row + 1, :] if st.key_is_row
+                          else depth_fn(work[:, :]).reshape(1, c_sort))
+            dead = (jnp.where(neg, -DEAD_KEY, DEAD_KEY) if merge_ok
+                    else DEAD_KEY)
+            work[key_row:key_row + 1, :] = jnp.where(live, depth_vals, dead)
 
-        if merge_ok:
-            # record each stage's exchange mask for the reverse replay
-            for si, (k, blocks) in enumerate(_oem_schedule(caps)):
-                _oem_stage(work, key_row, c_sort, k, blocks,
-                           take_out=takes.at[si])
-        else:
-            # the id row's value is not used by the sweep; carry the
-            # pre-sort lane index there so d can be un-sorted back
-            work[idrow:idrow + 1, :] = lane.astype(jnp.float32)
-            k = 2
-            while k <= c_sort:
-                jj = k // 2
-                while jj >= 1:
-                    _bitonic_stage(work, key_row, c_sort, k, jj)
-                    jj //= 2
-                k *= 2
+            if merge_ok:
+                # record each stage's exchange mask for the reverse replay
+                for si, (k, blocks) in enumerate(_oem_schedule(caps)):
+                    _oem_stage(work, key_row, c_sort, k, blocks,
+                               take_out=takes.at[si])
+            else:
+                # the id row's value is not used by the sweep; carry the
+                # pre-sort lane index there so d can be un-sorted back
+                work[idrow:idrow + 1, :] = lane.astype(jnp.float32)
+                k = 2
+                while k <= c_sort:
+                    jj = k // 2
+                    while jj >= 1:
+                        _bitonic_stage(work, key_row, c_sort, k, jj)
+                        jj //= 2
+                    k *= 2
 
-        dwork[:, :] = jnp.zeros((r_buf, c_sort), jnp.float32)
-        t_col[:, :] = jnp.ones((PIX, 1), jnp.float32)
-        s_run[:, :] = jnp.zeros((PIX, 1), jnp.float32)
-        px, py = _tile_pixel_coords(j, st.tiles_x)
-        ccopy.wait()
-        if uses_pix:
-            pcopy.wait()
-            pixscr[:, :] = jnp.transpose(pixraw[:, :])
-        pix = pixscr[:, :] if uses_pix else None
+            dwork[:, :] = jnp.zeros((r_buf, c_sort), jnp.float32)
+            t_col[:, :] = jnp.ones((PIX, 1), jnp.float32)
+            s_run[:, :] = jnp.zeros((PIX, 1), jnp.float32)
+            px, py = _tile_pixel_coords(j, st.tiles_x)
+            ccopy.wait()
+            if uses_pix:
+                pcopy.wait()
+                pixscr[:, :] = jnp.transpose(pixraw[:, :])
+            pix = pixscr[:, :] if uses_pix else None
 
-        for ci in range(n_chunks):
-            cs, cw = bounds[ci]
+            for ci in range(n_chunks):
+                cs, cw = bounds[ci]
 
-            # gate on the SCALAR window test only; transmittance early-out
-            # is the forward's per-pixel alpha freeze, inside alpha_f so
-            # the VJP zeroes frozen pixels' gradients too — a max-reduce
-            # inside a pl.when condition syncs VPU -> scalar core at
-            # ~7.5 us per evaluation (see blend_chunk's docstring)
-            @pl.when((cs < n_head + n_live) & (cs + cw > n_head))
-            def _(ci=ci, cs=cs, cw=cw):
-                block = work[:, cs:cs + cw]
-                key = block[key_row:key_row + 1, :]
-                lane_live = jnp.abs(key) < (DEAD_KEY * 0.5)
-                rng_key = (seed_ref[0] + j * n_chunks + ci
-                           if st.stochastic else None)
-                raw_alpha = _alpha_closure(st, pix, px, py, 0, cw, rng_key)
-                tc = t_col[:, :]
-                px_live = tc > st.min_transmittance
+                # gate on the SCALAR window test only; transmittance early-out
+                # is the forward's per-pixel alpha freeze, inside alpha_f so
+                # the VJP zeroes frozen pixels' gradients too — a max-reduce
+                # inside a pl.when condition syncs VPU -> scalar core at
+                # ~7.5 us per evaluation (see blend_chunk's docstring)
+                @pl.when((cs < n_head + n_live) & (cs + cw > n_head))
+                def _(ci=ci, cs=cs, cw=cw):
+                    block = work[:, cs:cs + cw]
+                    key = block[key_row:key_row + 1, :]
+                    lane_live = jnp.abs(key) < (DEAD_KEY * 0.5)
+                    rng_key = (seed_ref[0] + j * n_chunks + ci
+                               if st.stochastic else None)
+                    raw_alpha = _alpha_closure(st, pix, px, py, 0, cw, rng_key)
+                    tc = t_col[:, :]
+                    px_live = tc > st.min_transmittance
 
-                def alpha_f(blk):
-                    a = jnp.where(lane_live, raw_alpha(blk), 0.0)
-                    return jnp.where(px_live, a, 0.0)
+                    def alpha_f(blk):
+                        a = jnp.where(lane_live, raw_alpha(blk), 0.0)
+                        return jnp.where(px_live, a, 0.0)
 
-                alpha, alpha_vjp = jax.vjp(alpha_f, block)
-                q = 1.0 - alpha
-                excl = _cumprod_exclusive(q)
-                t_k = excl * tc
-                w = alpha * t_k
-                g_rgb_t = ctx[0:3, :]                          # (3, 256)
-                s_total = jnp.transpose(ctx[3:4, :])
-                gt_tn = jnp.transpose(ctx[4:5, :])
-                r0, r1 = color_rows
-                cols = block[r0:r1 + 1, :]
-                # exact VPU broadcast FMAs (MXU f32 is bf16-grade in-kernel)
-                cg = (jnp.transpose(g_rgb_t[0:1, :]) * cols[0:1, :]
-                      + jnp.transpose(g_rgb_t[1:2, :]) * cols[1:2, :]
-                      + jnp.transpose(g_rgb_t[2:3, :]) * cols[2:3, :])
-                wcg = w * cg
-                s_incl = s_run[:, :] + _cumsum_inclusive(wcg)
-                suffix = s_total - s_incl
-                qsafe = jnp.maximum(q, 1.0 - st.alpha_clamp)
-                dalpha = t_k * cg - (suffix + gt_tn) / qsafe
+                    alpha, alpha_vjp = jax.vjp(alpha_f, block)
+                    q = 1.0 - alpha
+                    excl = _cumprod_exclusive(q)
+                    t_k = excl * tc
+                    w = alpha * t_k
+                    g_rgb_t = ctx[0:3, :]                          # (3, 256)
+                    s_total = jnp.transpose(ctx[3:4, :])
+                    gt_tn = jnp.transpose(ctx[4:5, :])
+                    r0, r1 = color_rows
+                    cols = block[r0:r1 + 1, :]
+                    # exact VPU broadcast FMAs (MXU f32 is bf16-grade in-kernel)
+                    cg = (jnp.transpose(g_rgb_t[0:1, :]) * cols[0:1, :]
+                          + jnp.transpose(g_rgb_t[1:2, :]) * cols[1:2, :]
+                          + jnp.transpose(g_rgb_t[2:3, :]) * cols[2:3, :])
+                    wcg = w * cg
+                    s_incl = s_run[:, :] + _cumsum_inclusive(wcg)
+                    suffix = s_total - s_incl
+                    qsafe = jnp.maximum(q, 1.0 - st.alpha_clamp)
+                    dalpha = t_k * cg - (suffix + gt_tn) / qsafe
 
-                (d_block,) = alpha_vjp(dalpha)
-                dcol = jnp.concatenate(
-                    [jnp.sum(jnp.transpose(g_rgb_t[ch:ch + 1, :]) * w,
-                             axis=0, keepdims=True) for ch in range(3)],
-                    axis=0)                                     # (3, C)
-                d_full = jnp.concatenate(
-                    [d_block[:r0, :], d_block[r0:r1 + 1, :] + dcol,
-                     d_block[r1 + 1:, :]], axis=0)
-                # frozen pixels contribute nothing: their alpha (and hence
-                # w, wcg, d_block rows) is zero via alpha_f, and q = 1,
-                # excl = 1 make the t_col/s_run updates exact no-ops
-                dwork[:, cs:cs + cw] = dwork[:, cs:cs + cw] + d_full
+                    (d_block,) = alpha_vjp(dalpha)
+                    dcol = jnp.concatenate(
+                        [jnp.sum(jnp.transpose(g_rgb_t[ch:ch + 1, :]) * w,
+                                 axis=0, keepdims=True) for ch in range(3)],
+                        axis=0)                                     # (3, C)
+                    d_full = jnp.concatenate(
+                        [d_block[:r0, :], d_block[r0:r1 + 1, :] + dcol,
+                         d_block[r1 + 1:, :]], axis=0)
+                    # frozen pixels contribute nothing: their alpha (and hence
+                    # w, wcg, d_block rows) is zero via alpha_f, and q = 1,
+                    # excl = 1 make the t_col/s_run updates exact no-ops
+                    dwork[:, cs:cs + cw] = dwork[:, cs:cs + cw] + d_full
 
-                t_col[:, :] = tc * excl[:, cw - 1:cw] * q[:, cw - 1:cw]
-                s_run[:, :] = s_run[:, :] + jnp.sum(wcg, axis=1,
-                                                    keepdims=True)
+                    t_col[:, :] = tc * excl[:, cw - 1:cw] * q[:, cw - 1:cw]
+                    s_run[:, :] = s_run[:, :] + jnp.sum(wcg, axis=1,
+                                                        keepdims=True)
 
-        # restore d to span layout (see docstring: reverse replay vs
-        # carried-index bitonic)
-        if merge_ok:
-            sched = _oem_schedule(caps)
-            for si in range(len(sched) - 1, -1, -1):
-                k, blocks = sched[si]
-                _oem_replay_stage(dwork, takes.at[si], c_sort, k, blocks)
-        else:
-            dwork[idrow:idrow + 1, :] = work[idrow:idrow + 1, :]
-            k = 2
-            while k <= c_sort:
-                jj = k // 2
-                while jj >= 1:
-                    _bitonic_stage(dwork, idrow, c_sort, k, jj)
-                    jj //= 2
-                k *= 2
-        # the sort-key/id rows carry bookkeeping values, not gradients
-        dwork[idrow:idrow + 1, :] = jnp.zeros((1, c_sort), jnp.float32)
-        if idrow_hi is not None:
-            dwork[idrow_hi:idrow_hi + 1, :] = jnp.zeros((1, c_sort),
-                                                        jnp.float32)
-        dwork[key_row:key_row + 1, :] = jnp.zeros((1, c_sort), jnp.float32)
-        if drow < r_buf and drow != key_row:
-            # depth cotangents are dropped (aux picks are not differentiated)
-            dwork[drow:drow + 1, :] = jnp.zeros((1, c_sort), jnp.float32)
+            # restore d to span layout (see docstring: reverse replay vs
+            # carried-index bitonic)
+            if merge_ok:
+                sched = _oem_schedule(caps)
+                for si in range(len(sched) - 1, -1, -1):
+                    k, blocks = sched[si]
+                    _oem_replay_stage(dwork, takes.at[si], c_sort, k, blocks)
+            else:
+                dwork[idrow:idrow + 1, :] = work[idrow:idrow + 1, :]
+                k = 2
+                while k <= c_sort:
+                    jj = k // 2
+                    while jj >= 1:
+                        _bitonic_stage(dwork, idrow, c_sort, k, jj)
+                        jj //= 2
+                    k *= 2
+            # the sort-key/id rows carry bookkeeping values, not gradients
+            dwork[idrow:idrow + 1, :] = jnp.zeros((1, c_sort), jnp.float32)
+            if idrow_hi is not None:
+                dwork[idrow_hi:idrow_hi + 1, :] = jnp.zeros((1, c_sort),
+                                                            jnp.float32)
+            dwork[key_row:key_row + 1, :] = jnp.zeros((1, c_sort), jnp.float32)
+            if drow < r_buf and drow != key_row:
+                # depth cotangents are dropped (aux picks are not differentiated)
+                dwork[drow:drow + 1, :] = jnp.zeros((1, c_sort), jnp.float32)
 
-        # run-by-run additive RMW into the global d_attrs (sequential, so
-        # overlapping 128-aligned windows accumulate correctly; a span's
-        # runs are disjoint HBM slices; blocked layout => contiguous)
-        for jr, (sp, so, sz) in enumerate(runs):
-            s = spans[sp][0]
-            blk = s // 128 + so // 128
-            nb = sz // 128
-            rslice = rmw.at[pl.ds(0, nb)]
-            rd = pltpu.make_async_copy(
-                dattrs_ref.at[pl.ds(blk, nb)], rslice, dsem)
-            rd.start()
-            rd.wait()
-            for b in range(nb):
-                rmw[b] = (rmw[b]
-                          + dwork[:, offs[jr] + b * 128:
-                                  offs[jr] + (b + 1) * 128])
-            wr = pltpu.make_async_copy(
-                rslice, dattrs_ref.at[pl.ds(blk, nb)], dsem)
-            wr.start()
-            wr.wait()
+            # fine runs: per-tile additive RMW into the global d_attrs
+            # (sequential grid => overlapping 128-aligned windows
+            # accumulate correctly; blocked layout => contiguous)
+            for (jr, _sp, src, sz) in fine_runs:
+                s = spans[0][0]
+                blk = s // 128 + src // 128
+                nb = sz // 128
+                rslice = rmw.at[pl.ds(0, nb)]
+                rd = pltpu.make_async_copy(
+                    dattrs_ref.at[pl.ds(blk, nb)], rslice, dsem)
+                rd.start()
+                rd.wait()
+                for b in range(nb):
+                    rmw[b] = (rmw[b]
+                              + dwork[:, offs[jr] + b * 128:
+                                      offs[jr] + (b + 1) * 128])
+                wr = pltpu.make_async_copy(
+                    rslice, dattrs_ref.at[pl.ds(blk, nb)], dsem)
+                wr.start()
+                wr.wait()
+            # shared runs: accumulate in VMEM across the cell's tiles
+            # (dead lanes carry zero d, so the cell-level sum is exact)
+            for (jr, _sp, _src, sz) in shared_runs:
+                for b in range(sz // 128):
+                    sb = s_offs[jr] // 128 + b
+                    dshared[sb] = (dshared[sb]
+                                   + dwork[:, offs[jr] + b * 128:
+                                           offs[jr] + (b + 1) * 128])
+
+        # cell-final: ONE RMW of the accumulated shared-span gradients
+        # (replaces 16 per-tile read-modify-write round-trips per span)
+        @pl.when(sub == tiles_per_cell - 1)
+        def _cell_flush():
+            for (jr, sp, src, sz) in shared_runs:
+                s = spans[sp][0]
+                blk = s // 128 + src // 128
+                nb = sz // 128
+                rslice = rmw.at[pl.ds(0, nb)]
+                rd = pltpu.make_async_copy(
+                    dattrs_ref.at[pl.ds(blk, nb)], rslice, dsem)
+                rd.start()
+                rd.wait()
+                for b in range(nb):
+                    rmw[b] = rmw[b] + dshared[s_offs[jr] // 128 + b]
+                wr = pltpu.make_async_copy(
+                    rslice, dattrs_ref.at[pl.ds(blk, nb)], dsem)
+                wr.start()
+                wr.wait()
 
     return kernel
 
@@ -1052,14 +1221,14 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
 @functools.lru_cache(maxsize=64)
 def _bucket_bwd_call(st: RasterStatics, caps: tuple, n_pad: int):
     spec = BucketGridSpec.build(st.tiles_x, st.tiles_y)
-    num_tiles = st.tiles_x * st.tiles_y
     uses_pix = USES_PIX_CTX[st.model]
     r_buf = buf_rows(st.model)
     runs, _offs, _c_total = _span_offsets(caps)
-    n_runs = len(runs)
     run_max = max(sz for _sp, _so, sz in runs)
     merge_ok = _merge_caps_ok(caps)
     c_sort = _sort_width(caps)
+    f_runs, _fo, f_total, s_runs, _so2, s_total = _run_split(caps)
+    n_cells = (-(-st.tiles_x // CELL_T)) * (-(-st.tiles_y // CELL_T))
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
         pl.BlockSpec(memory_space=pltpu.SMEM),   # bucket starts
@@ -1067,10 +1236,11 @@ def _bucket_bwd_call(st: RasterStatics, caps: tuple, n_pad: int):
         pl.BlockSpec(memory_space=pltpu.HBM),    # bwd ctx (T, 8, 256)
         pl.BlockSpec(memory_space=pltpu.HBM),    # zeros, aliased to d_attrs
     ]
-    c_blk = _c_total // 128
     scratch = [
         pltpu.VMEM((r_buf, c_sort), jnp.float32),         # work
-        pltpu.VMEM((c_blk, r_buf, 128), jnp.float32),     # stage (blocked)
+        pltpu.VMEM((f_total // 128, r_buf, 128), jnp.float32),  # fine stage
+        pltpu.VMEM((s_total // 128, r_buf, 128), jnp.float32),  # shared stg
+        pltpu.VMEM((s_total // 128, r_buf, 128), jnp.float32),  # d_shared
         pltpu.VMEM((r_buf, c_sort), jnp.float32),         # dwork
         pltpu.VMEM((run_max // 128, r_buf, 128), jnp.float32),  # rmw buffer
         pltpu.VMEM((PIX, 1), jnp.float32),                # t_col
@@ -1082,14 +1252,16 @@ def _bucket_bwd_call(st: RasterStatics, caps: tuple, n_pad: int):
         scratch += [
             pltpu.VMEM((OUT_COLS, PIX), jnp.float32),     # pixraw
             pltpu.VMEM((PIX, OUT_COLS), jnp.float32),     # pixscr
-            pltpu.SemaphoreType.DMA((n_runs,)),
+            pltpu.SemaphoreType.DMA((len(f_runs),)),
+            pltpu.SemaphoreType.DMA((len(s_runs),)),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ]
     else:
         scratch += [
-            pltpu.SemaphoreType.DMA((n_runs,)),
+            pltpu.SemaphoreType.DMA((len(f_runs),)),
+            pltpu.SemaphoreType.DMA((len(s_runs),)),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ]
@@ -1101,7 +1273,7 @@ def _bucket_bwd_call(st: RasterStatics, caps: tuple, n_pad: int):
                                   jnp.float32))
     return pl.pallas_call(
         _make_bwd_kernel(st, caps, spec),
-        grid=(num_tiles,),
+        grid=(n_cells, CELL_T * CELL_T),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=scratch,
