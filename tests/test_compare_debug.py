@@ -140,3 +140,37 @@ def test_atrous_denoise_reduces_stochastic_noise():
     clean_den = np.asarray(render_3dgs(
         splats, cam, cfg.replace(denoise="atrous"), max_pairs=1 << 16).image)
     assert mse(clean_den) < 4e-3, mse(clean_den)
+
+
+def test_web_viewer_serves_frames():
+    """viewer_web (H17): the render server answers the page and PNG frames
+    for all three pipelines and display modes over real HTTP."""
+    import threading
+    import urllib.request
+
+    import jax
+
+    from vk_gaussian_splatting_tpu.scene.splat_set import random_splats
+    from vk_gaussian_splatting_tpu.viewer_web import serve
+
+    splats = random_splats(jax.random.key(9), 80, sh_degree=1,
+                           scale_range=(-2.5, -1.5))
+    prepared = splats.prepare()
+    httpd = serve(prepared, center=[0, 0, 0], radius=2.0, port=0,
+                  width=64, height=48, max_pairs=1 << 14)
+    port = httpd.server_address[1]
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    try:
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=60).read()
+        assert b"orbit" in page
+        for q in ("pipeline=1&mode=rgb", "pipeline=4&mode=depth",
+                  "pipeline=2&mode=trans"):
+            png = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/frame.png?az=0.3&el=0.2&r=6&" + q,
+                timeout=300).read()
+            assert png[:8] == b"\x89PNG\r\n\x1a\n", q
+            assert len(png) > 500
+    finally:
+        httpd.shutdown()
