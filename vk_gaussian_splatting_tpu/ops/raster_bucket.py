@@ -405,6 +405,41 @@ def _ablate() -> frozenset:
                             os.environ.get("VKGS_ABLATE", "").split(",")))
 
 
+def _span_lane_tables(caps: tuple, c_sort: int):
+    """Per-lane tables (1, c_sort) i32, built from iota in-kernel (Pallas
+    forbids captured array constants): the SPAN index owning each lane
+    (7 = never-DMA'd pad) and the lane's absolute position within its span
+    (run src offset + offset inside the run). Built ONCE per grid step and
+    shared by the TPT tiles; the per-tile key masks then need one select
+    chain over the 6 spans instead of interval masks over all ~11 runs."""
+    runs, offs, _c_total = _span_offsets(caps)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, c_sort), 1)
+    span_lane = jnp.full((1, c_sort), 7, jnp.int32)
+    abs_lane = jnp.zeros((1, c_sort), jnp.int32)
+    for j, (sp, so, sz) in enumerate(runs):
+        in_run = (lane >= offs[j]) & (lane < offs[j] + sz)
+        span_lane = jnp.where(in_run, sp, span_lane)
+        abs_lane = jnp.where(in_run, lane - (offs[j] - so), abs_lane)
+    return span_lane, abs_lane
+
+
+def _key_masks(tables, heads, neffs):
+    """(live, neg) (1, c_sort) bool masks from per-span scalar (head,
+    n_eff): live = head <= abs < head + n_eff within the owning span, neg =
+    the DMA-alignment head lanes of non-empty spans. Exactly equivalent to
+    the per-run interval form (lo/hi clipping is implied by the abs-lane
+    coordinates)."""
+    span_lane, abs_lane = tables
+    head_lane = jnp.zeros(span_lane.shape, jnp.int32)
+    neff_lane = jnp.zeros(span_lane.shape, jnp.int32)
+    for sp in range(NUM_SPANS):
+        head_lane = jnp.where(span_lane == sp, heads[sp], head_lane)
+        neff_lane = jnp.where(span_lane == sp, neffs[sp], neff_lane)
+    live = (abs_lane >= head_lane) & (abs_lane < head_lane + neff_lane)
+    neg = (abs_lane < head_lane) & (neff_lane > 0)
+    return live, neg
+
+
 def _run_split(caps: tuple):
     """Partition the merge-layout runs into (fine, shared) with their
     staging-buffer block offsets: fine runs re-DMA per tile; shared runs
@@ -567,7 +602,6 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
         # assemble the flat (r_buf, c_sort) work buffer from the staged
         # blocks (statically-addressed writes; reads use dynamic leading
         # indices into the flat staging arrays)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, c_sort), 1)
         for t in range(TPT) if "assembly" not in abl else ():
             fbase = (slot * TPT + t) * f_blk
             for (jr, _sp, _src, sz) in fine_runs:
@@ -594,11 +628,10 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
         # on the merge path, which get -DEAD_KEY so each span stays one
         # ascending run ([-inf..., live asc, +inf...]); they merge to the
         # buffer front and the chunk loop skips over them.
+        key_tables = _span_lane_tables(caps, c_sort)
         n_lives = []
         n_heads = []
         for t in range(TPT):
-            live = jnp.zeros((1, c_sort), jnp.bool_)
-            neg = jnp.zeros((1, c_sort), jnp.bool_)
             n_live = jnp.int32(0)
             n_head = jnp.int32(0)
             heads, neffs = [], []
@@ -610,21 +643,10 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                 n_live = n_live + n_eff
                 if merge_ok:
                     n_head = n_head + jnp.where(n_eff > 0, head, 0)
-            # distribute each span's live window [head, head+n_eff) and
-            # -inf head [0, head) over its pow2 runs (span-local coords;
-            # only run 0 can hold a head since head < 128 <= run sizes).
-            # Loop var jr, NOT j — see the wait loop's shadowing note.
             if "keys" not in abl:
-                for jr, (sp, so, sz) in enumerate(runs):
-                    head, n_eff = heads[sp], neffs[sp]
-                    lo = jnp.clip(head - so, 0, sz)
-                    hi = jnp.clip(head + n_eff - so, 0, sz)
-                    live = live | ((lane >= offs[jr] + lo)
-                                   & (lane < offs[jr] + hi))
-                    if merge_ok:
-                        neg = neg | ((lane >= offs[jr])
-                                     & (lane < offs[jr] + lo)
-                                     & (n_eff > 0))
+                # per-lane span tables turn the old ~9-ops-per-run interval
+                # masks into one 6-span select chain (_key_masks)
+                live, neg = _key_masks(key_tables, heads, neffs)
                 # key_is_row: the key row already rides the attrs (host
                 # rank) — only dead lanes get overwritten
                 depth_vals = (work[t, key_row:key_row + 1, :]
@@ -1011,7 +1033,6 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                     sems.at[i],
                 ).wait()
 
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, c_sort), 1)
             for (jr, _sp, _src, sz) in fine_runs:
                 for b in range(sz // 128):
                     o = offs[jr] + b * 128
@@ -1024,8 +1045,6 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                 # never-DMA'd lanes: zero stale VMEM garbage (fwd kernel)
                 work[:, c_total:] = jnp.zeros((r_buf, c_sort - c_total),
                                               jnp.float32)
-            live = jnp.zeros((1, c_sort), jnp.bool_)
-            neg = jnp.zeros((1, c_sort), jnp.bool_)
             n_live = jnp.int32(0)
             n_head = jnp.int32(0)
             heads, neffs = [], []
@@ -1037,14 +1056,8 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                 n_live = n_live + n_eff
                 if merge_ok:
                     n_head = n_head + jnp.where(n_eff > 0, head, 0)
-            for jr, (sp, so, sz) in enumerate(runs):
-                head, n_eff = heads[sp], neffs[sp]
-                lo = jnp.clip(head - so, 0, sz)
-                hi = jnp.clip(head + n_eff - so, 0, sz)
-                live = live | ((lane >= offs[jr] + lo) & (lane < offs[jr] + hi))
-                if merge_ok:
-                    neg = neg | ((lane >= offs[jr]) & (lane < offs[jr] + lo)
-                                 & (n_eff > 0))
+            live, neg = _key_masks(_span_lane_tables(caps, c_sort),
+                                   heads, neffs)
             if not merge_ok:
                 n_head = jnp.int32(0)
             depth_vals = (work[key_row:key_row + 1, :] if st.key_is_row
@@ -1061,6 +1074,7 @@ def _make_bwd_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
             else:
                 # the id row's value is not used by the sweep; carry the
                 # pre-sort lane index there so d can be un-sorted back
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, c_sort), 1)
                 work[idrow:idrow + 1, :] = lane.astype(jnp.float32)
                 k = 2
                 while k <= c_sort:
