@@ -53,29 +53,26 @@ def t(fn, *a, n=8):
 
 
 tx, ty = cfg.width // 16, cfg.height // 16
-cache = f"/tmp/bins_cache_{N}_{'_'.join(map(str, CAPS))}.npz"
-if os.path.exists(cache):
-    import numpy as np
+# bins are recomputed ON DEVICE each process: a ~300 MB host->device
+# device_put of cached bins over the tunneled runtime reproducibly killed
+# the client with FAILED_PRECONDITION (the old npz cache did exactly that)
+prepared = make_scene(N)
+cam = look_at([0, 0, -7], [0, 0, 0], [0, 1, 0], cfg.width, cfg.height,
+              fov_y_rad=0.9)
+proj = jax.block_until_ready(jax.jit(
+    lambda p, c: project_splats(p, c, cfg))(prepared, cam))
+rows = jax.block_until_ready(jax.jit(gs_attr_rows)(proj))
+bins = jax.block_until_ready(jax.jit(
+    lambda p, r: bucket_splats(p, r, tiles_x=tx, tiles_y=ty,
+                               caps=CAPS))(proj, rows))
 
-    from vk_gaussian_splatting_tpu.ops.bucket_grid import BucketBins
-    z = np.load(cache)
-    bins = BucketBins(*(jax.device_put(z[k]) for k in
-                        ("attrs", "bucket_starts", "num_valid", "overflow")))
-else:
-    prepared = make_scene(N)
-    cam = look_at([0, 0, -7], [0, 0, 0], [0, 1, 0], cfg.width, cfg.height,
-                  fov_y_rad=0.9)
-    proj = jax.block_until_ready(jax.jit(
-        lambda p, c: project_splats(p, c, cfg))(prepared, cam))
-    rows = jax.block_until_ready(jax.jit(gs_attr_rows)(proj))
-    bins = jax.block_until_ready(jax.jit(
-        lambda p, r: bucket_splats(p, r, tiles_x=tx, tiles_y=ty,
-                                   caps=CAPS))(proj, rows))
-    import numpy as np
-    np.savez(cache, **{k: np.asarray(getattr(bins, k)) for k in
-                       ("attrs", "bucket_starts", "num_valid", "overflow")})
+import dataclasses
 
 st = raster_statics(cfg, interpret=False)
+# the PRODUCTION blend chunk (raster_statics carries the pair-path 128);
+# VKGS_CHUNK sweeps alternatives
+st = dataclasses.replace(st, chunk=int(
+    os.environ.get("VKGS_CHUNK", cfg.raster.bucket_chunk)))
 abl = os.environ.get("VKGS_ABLATE", "")
 kern = jax.jit(lambda b: rb.rasterize_buckets(b, None, None, st, CAPS))
 print(f"ABLATE=[{abl}] kernel ms: {t(kern, bins):.2f}", flush=True)

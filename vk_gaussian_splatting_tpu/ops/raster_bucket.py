@@ -706,9 +706,10 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                 pcopies[t].wait()
                 pixscr[t] = jnp.transpose(pixraw[t])
 
-        def blend_chunk(t, ci, active):
-            """One tile-chunk blend; commits masked by the scalar window
-            test `active`, with PER-PIXEL transmittance termination.
+        def blend_chunk(t, ci):
+            """One tile-chunk blend with PER-PIXEL transmittance
+            termination; runs inside a per-(tile, chunk) pl.when region, so
+            commits are unconditional.
 
             Termination must NOT be a pl.when gate: the max-over-pixels
             reduce in the gate condition crosses from the VPU to the
@@ -747,12 +748,9 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
             excl = _cumprod_exclusive(q)
             w = alpha * excl * tc
             cols = color_fn(block)
-            acc[t] = jnp.where(
-                active,
-                acc[t] + jax.lax.dot_general(
-                    w, cols, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32),
-                acc[t])
+            acc[t] = acc[t] + jax.lax.dot_general(
+                w, cols, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
             # depth/id picks: always computed, masked by `unpicked` (the
             # old resolved-skip pl.when paid the same scalar-sync cost as
@@ -774,7 +772,7 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                 d_sel = jnp.sum(jnp.where(sel, depth_row, 0.0),
                                 axis=1, keepdims=True)
                 unpicked = pick_d[t, :, i:i + 1] > 1e29
-                upd = hit & unpicked & active
+                upd = hit & unpicked
                 if i == 0 and not st.multi_iso:
                     id_sel = jnp.sum(
                         jnp.where(sel, block[idrow:idrow + 1, :], 0.0),
@@ -789,31 +787,26 @@ def _make_kernel(st: RasterStatics, caps: tuple, spec: BucketGridSpec):
                                                        pick_id[t, :, 1:2])
                 pick_d[t, :, i:i + 1] = jnp.where(upd, d_sel,
                                                   pick_d[t, :, i:i + 1])
-            t_col[t] = jnp.where(active,
-                                 tc * excl[:, cw - 1:cw] * q[:, cw - 1:cw],
-                                 tc)
+            t_col[t] = tc * excl[:, cw - 1:cw] * q[:, cw - 1:cw]
 
         for ci in range(n_chunks) if "blend" not in abl else ():
-            # ONE region per chunk covering all TPT tiles: the tiles'
-            # bodies are independent instruction chains, so the VLIW
-            # scheduler interleaves them and hides the cumprod scan's
-            # serial latency (separate per-tile pl.when regions cannot
-            # interleave). The region gate uses ONLY the scalar-domain
-            # window tests (n_heads/n_lives come from SMEM span
-            # descriptors): beyond-occupancy chunks still skip for free,
-            # while transmittance early-out is a vector mask inside
+            # one region PER (tile, chunk), gated by that tile's own
+            # scalar window test (n_heads/n_lives from SMEM span
+            # descriptors): the old single region per chunk ran BOTH
+            # tiles' bodies whenever either needed the chunk, paying the
+            # union of the windows (the blend is wide (PIX, cw) math that
+            # saturates the VPU on its own, so per-tile regions lose no
+            # VLIW interleaving — unlike the 16-row merge stages).
+            # Transmittance early-out stays a vector mask inside
             # blend_chunk — see its docstring for the measured reason.
             cs, cw = bounds[ci]
-            win = [(cs < n_heads[t] + n_lives[t])
-                   & (cs + cw > n_heads[t]) for t in range(TPT)]
-            any_win = win[0]
-            for t in range(1, TPT):
-                any_win = any_win | win[t]
+            for t in range(TPT):
+                win_t = ((cs < n_heads[t] + n_lives[t])
+                         & (cs + cw > n_heads[t]))
 
-            @pl.when(any_win)
-            def _(ci=ci, win=win):
-                for t in range(TPT):
-                    blend_chunk(t, ci, win[t])
+                @pl.when(win_t)
+                def _(ci=ci, t=t):
+                    blend_chunk(t, ci)
 
         if "output" in abl:
             return
