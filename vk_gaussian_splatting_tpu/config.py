@@ -84,17 +84,18 @@ class RasterConfig:
 
     tile_size: int = 16
     chunk: int = 128             # pairs blended per tile-loop iteration (VMEM chunk)
-    bucket_chunk: int = 256      # bucket-kernel blend chunk. The blend is
+    bucket_chunk: int = 384      # bucket-kernel blend chunk. The blend is
                                  # the frame's dominant term (139 of 209 ms
                                  # at 1080p/1M) and its cost scales with
                                  # the WINDOW lanes processed: finer chunks
-                                 # quantize each tile's live window tighter
-                                 # (209 -> 173 ms measured going 768 ->
-                                 # 256 in r5, after the per-pixel freeze +
-                                 # per-(tile, chunk) regions removed the
-                                 # per-chunk fixed costs that made 768 win
-                                 # in r4); a partial x128 tail chunk covers
-                                 # any cap total (_chunk_bounds)
+                                 # quantize each tile's live window
+                                 # tighter, against a per-region fixed
+                                 # cost. r5 sweep on the driver scene:
+                                 # 128 -> 189.7, 256 -> 173.5,
+                                 # 384 -> 171.1 (min, default),
+                                 # 768 -> 209 ms; a partial x128 tail
+                                 # chunk covers any cap total
+                                 # (_chunk_bounds)
     slots_k: int = 16            # max tiles per splat in slot expansion
     expansion: str = "slots"     # "slots" (fast, capped) | "exact" (searchsorted)
     # binning architecture: "bucket" sorts N splats once into shifted
