@@ -95,9 +95,12 @@ from vk_gaussian_splatting_tpu.ops.response import (
 )
 
 DEAD_KEY = 1e30  # sentinel depth for masked lanes (sorts last, never picked)
-TPT = 2          # tiles per grid step (compiled): their bitonic stages
+TPT = 4          # tiles per grid step (compiled): their merge stages
                  # interleave so the VLIW scheduler fills each chain's
-                 # latency bubbles (TPT=4 spills registers and is slower)
+                 # latency bubbles. r5 sweep at blend chunk 384 on the
+                 # driver scene: TPT=2 -> 171.1 ms, TPT=4 -> 168.1 ms
+                 # (the old TPT=4 register-spill penalty went away with
+                 # the per-(tile, chunk) blend regions)
 CELL_T = 4       # tiles per mid-cell side: a 64-px mid cell = 4x4 tiles,
                  # which all share the SAME mid/coarse/global window spans
                  # (bucket_grid's shifted pair grids are 16-aligned), so the
